@@ -1,38 +1,63 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship frontier-generation query at sf0.001;
+``queries()`` / ``oracle_sql()`` expose every implemented operator from
+SURVEY.md §2 (crawl engine) plus the training-data-pipeline operators
+(dedup / similarity / text / multimodal) with DuckDB oracles.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+
+_REPO = Path(__file__).resolve().parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from crawler_spark.plans.oracle_queries import q_frontier_generation
+
+    return q_frontier_generation(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2 (+ pipeline ops)."""
+    from crawler_spark.plans.oracle_queries import CRAWL_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    regs = [CRAWL_QUERIES]
+    try:
+        from crawler_spark.plans.analytics_queries import ANALYTICS_QUERIES
+
+        regs.append(ANALYTICS_QUERIES)
+    except ImportError:
+        pass
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for reg in regs:
+        for name, (fn, _sql) in reg.items():
+            out[name] = fn
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL for each queries() key (omitted ⇒ rows-only)."""
+    from crawler_spark.plans.oracle_queries import CRAWL_QUERIES
+
+    regs = [CRAWL_QUERIES]
+    try:
+        from crawler_spark.plans.analytics_queries import ANALYTICS_QUERIES
+
+        regs.append(ANALYTICS_QUERIES)
+    except ImportError:
+        pass
+    out: dict[str, str] = {}
+    for reg in regs:
+        for name, (_fn, sql) in reg.items():
+            if sql is not None:
+                out[name] = sql
+    return out

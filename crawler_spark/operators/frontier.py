@@ -1,0 +1,119 @@
+"""Frontier scheduling — SURVEY §2.4 A1-A3, §2.9 normative crawl order.
+
+Reproduces ``ChooseUpdateProblem`` / ``DownloadProblems`` selection
+(/root/reference/plugin/public/tools.go:327-403):
+
+1. every new-or-changed pid is due (delta pass, tools.go:337-343) — due rows
+   keep **listing order**;
+2. the remaining budget is filled from unchanged pids in random order
+   (tools.go:344-352);
+3. the per-judge batch is capped at ``limit`` (clamped to list size,
+   tools.go:329-331).
+
+One deliberate deviation, documented in SURVEY §2.9: the reference seeds its
+random fill from the wall clock (tools.go:328,356), which is irreproducible.
+We replace it with a **seeded hash order** — md5(seed‖judge‖pid) — which is
+deterministic, identical across engines (so the DuckDB oracle can mirror it),
+and uniform like the reference's shuffle.
+
+Everything is window + column expressions: per-judge top-k is one shuffle on
+``judge`` (the reference's per-plugin loop). At 10^10 scale the window
+partitions by (judge, host_bucket) instead so no single judge serializes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from crawler_spark.operators.membership import due_or_changed
+
+
+def crawl_order_key(seed: str):
+    """The seeded random-fill order: md5(seed‖judge‖pid)."""
+    return F.md5(F.concat(F.lit(seed), F.col("judge"), F.lit("|"), F.col("pid")))
+
+
+def select_generation(
+    listing: DataFrame,
+    seen: DataFrame,
+    limit: int,
+    seed: str = "gen0",
+    per: str = "judge",
+) -> DataFrame:
+    """A1/A2/A3 + §2.9 ordering: emit this generation's fetch batch.
+
+    Input ``listing`` needs columns (judge, pid, title, listing_pos); ``seen``
+    is the url_seen-style table with (judge, pid, title). Output adds
+    ``is_due`` and ``crawl_seq`` (1-based position in crawl order) and keeps
+    only the ``limit`` chosen rows per ``per`` group.
+    """
+    flagged = due_or_changed(listing, seen)
+    order = [
+        F.col("is_due").desc(),
+        # due prefix: listing order (tools.go:337); fill tail: seeded hash
+        F.when(F.col("is_due"), F.col("listing_pos")).asc(),
+        crawl_order_key(seed).asc(),
+    ]
+    w = Window.partitionBy(per).orderBy(*order)
+    return (
+        flagged.withColumn("crawl_seq", F.row_number().over(w))
+        .filter(F.col("crawl_seq") <= limit)
+    )
+
+
+def host_bucket(df: DataFrame, num_buckets: int, host_col: str = "host") -> DataFrame:
+    """Host-bucket partitioning key (SURVEY §4): pmod(xxhash64(host), B).
+
+    Per-host politeness needs all of a host's URLs in one task; bucketing by
+    host hash gives that while spreading hosts across ``num_buckets`` tasks.
+    """
+    return df.withColumn(
+        "host_bucket", F.pmod(F.xxhash64(F.col(host_col)), F.lit(num_buckets)).cast("int")
+    )
+
+
+def salt_hot_hosts(
+    df: DataFrame,
+    num_buckets: int,
+    hot_threshold: int = 100_000,
+    max_salt: int = 16,
+    host_col: str = "host",
+) -> DataFrame:
+    """Skew kill (north_rule): hosts whose frontier share exceeds
+    ``hot_threshold`` rows get a per-URL salt so one mega-host spreads over
+    up to ``max_salt`` buckets. Politeness still holds per (host, salt)
+    sub-stream because the fetch stage re-serializes per host within a task;
+    cross-task spacing is enforced by ``next_allowed_ts`` in host_state.
+
+    Two shuffles: a count per host (partial-agg'd map-side, tiny output,
+    auto-broadcast back) and the final repartition the caller does anyway.
+    """
+    counts = df.groupBy(host_col).agg(F.count("*").alias("__host_n"))
+    k = F.when(
+        F.col("__host_n") > hot_threshold,
+        F.least(F.ceil(F.col("__host_n") / hot_threshold), F.lit(max_salt)),
+    ).otherwise(F.lit(1)).cast("int")
+    salted = df.join(F.broadcast(counts.withColumn("__k", k)).drop("__host_n"), host_col)
+    salt = F.pmod(F.xxhash64(F.col("url")), F.col("__k"))
+    bucket = F.pmod(F.xxhash64(F.col(host_col), salt), F.lit(num_buckets)).cast("int")
+    return salted.withColumn("host_bucket", bucket).drop("__k")
+
+
+def admission_budget(
+    df: DataFrame, budgets: DataFrame, per: str = "judge", default_limit: int = 50
+) -> DataFrame:
+    """A3 — per-judge per-run caps (loj 200, uoj 50, … — BASELINE.md table).
+
+    ``budgets`` is a small (judge, limit) DataFrame (broadcast); rows beyond
+    the group's limit are cut by the same crawl-order window.
+    """
+    w = Window.partitionBy(per).orderBy(F.col("crawl_seq").asc())
+    joined = df.join(F.broadcast(budgets), on=per, how="left").withColumn(
+        "__limit", F.coalesce(F.col("limit"), F.lit(default_limit))
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.col("__limit"))
+        .drop("__rn", "__limit", "limit")
+    )
