@@ -68,33 +68,37 @@ def canonicalize(col: Column) -> Column:
     return F.concat(scheme, F.lit("://"), hostport, rest)
 
 
-@F.pandas_udf("string")
-def canonicalize_full(urls: pd.Series) -> pd.Series:
-    """Full canonicalizer (adds sorted query params) — Arrow-vectorized.
+def canonicalize_full():
+    """Full canonicalizer UDF (adds sorted query params) — Arrow-vectorized.
 
     Not on the hot path; provided for sources whose URLs carry unordered
-    query strings. Uses urllib split/unsplit per value inside one Arrow batch.
+    query strings. Built lazily because pandas_udf needs an active session.
     """
-    from urllib.parse import parse_qsl, urlencode, urlsplit, urlunsplit
 
-    def canon(u: str | None) -> str | None:
-        if u is None:
-            return None
-        try:
-            p = urlsplit(u)
-            host = (p.hostname or "").lower()
-            port = p.port
-            if port and not (
-                (p.scheme == "http" and port == 80)
-                or (p.scheme == "https" and port == 443)
-            ):
-                host = f"{host}:{port}"
-            q = urlencode(sorted(parse_qsl(p.query, keep_blank_values=True)))
-            return urlunsplit((p.scheme.lower(), host, p.path or "/", q, ""))
-        except ValueError:
-            return u
+    @F.pandas_udf("string")
+    def _canon_udf(urls: pd.Series) -> pd.Series:
+        from urllib.parse import parse_qsl, urlencode, urlsplit, urlunsplit
 
-    return urls.map(canon)
+        def canon(u: str | None) -> str | None:
+            if u is None:
+                return None
+            try:
+                p = urlsplit(u)
+                host = (p.hostname or "").lower()
+                port = p.port
+                if port and not (
+                    (p.scheme == "http" and port == 80)
+                    or (p.scheme == "https" and port == 443)
+                ):
+                    host = f"{host}:{port}"
+                q = urlencode(sorted(parse_qsl(p.query, keep_blank_values=True)))
+                return urlunsplit((p.scheme.lower(), host, p.path or "/", q, ""))
+            except ValueError:
+                return u
+
+        return urls.map(canon)
+
+    return _canon_udf
 
 
 def url_hash64(col: Column) -> Column:

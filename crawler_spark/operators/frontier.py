@@ -45,8 +45,14 @@ def select_generation(
 
     Input ``listing`` needs columns (judge, pid, title, listing_pos); ``seen``
     is the url_seen-style table with (judge, pid, title). Output adds
-    ``is_due`` and ``crawl_seq`` (1-based position in crawl order) and keeps
-    only the ``limit`` chosen rows per ``per`` group.
+    ``is_due`` and ``crawl_seq`` (1-based position in crawl order).
+
+    Exact reference semantics (tools.go:336-352): the delta pass is
+    **unbounded** — every new-or-changed pid is chosen regardless of
+    ``limit``; the random fill only tops the batch up *to* ``limit`` when the
+    due count falls short. So a row survives iff ``is_due OR crawl_seq <=
+    limit`` (limit is pre-clamped to the list size, tools.go:329-331, which
+    the window bound subsumes).
     """
     flagged = due_or_changed(listing, seen)
     order = [
@@ -58,7 +64,7 @@ def select_generation(
     w = Window.partitionBy(per).orderBy(*order)
     return (
         flagged.withColumn("crawl_seq", F.row_number().over(w))
-        .filter(F.col("crawl_seq") <= limit)
+        .filter(F.col("is_due") | (F.col("crawl_seq") <= limit))
     )
 
 

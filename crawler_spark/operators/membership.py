@@ -160,8 +160,8 @@ class NumpyCuckoo:
         self.table = np.zeros((self.nbuckets, self.SLOTS), dtype=np.uint16)
 
     def _fp_and_buckets(self, key: int) -> tuple[int, int, int]:
-        k = np.uint64(key)
-        h = int((k ^ (k >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD) % np.uint64(2**64))
+        k = key & 0xFFFFFFFFFFFFFFFF
+        h = ((k ^ (k >> 33)) * 0xFF51AFD7ED558CCD) & 0xFFFFFFFFFFFFFFFF
         fp = (h & 0xFFFF) or 1
         b1 = (h >> 16) % self.nbuckets
         b2 = (b1 ^ (fp * 0x5BD1E995)) % self.nbuckets

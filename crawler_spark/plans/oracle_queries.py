@@ -126,7 +126,7 @@ ranked AS (
   FROM flagged)
 SELECT judge, pid, title, CAST(is_due AS INT) AS is_due,
        CAST(crawl_seq AS INT) AS crawl_seq
-FROM ranked WHERE crawl_seq <= 10
+FROM ranked WHERE is_due OR crawl_seq <= 10
 """
 
 

@@ -90,6 +90,7 @@ FETCH_LOG = T.StructType(
         T.StructField("attempts", T.IntegerType(), False),
         T.StructField("status", T.StringType(), False),
         T.StructField("wall_ms", T.LongType(), False),
+        T.StructField("fetched_at", T.DoubleType(), False),
         T.StructField("generation", T.IntegerType(), False),
     ]
 )

@@ -1,0 +1,126 @@
+"""Warehouse — the persistent store (SURVEY §1.4, §2.6 W1-W6).
+
+The reference's store is a git repo with atomic multi-file commits + hard
+rollback (/root/reference/main.go:40-98,158-172). The Spark-native
+equivalent is an Iceberg catalog (one snapshot per generation); this sandbox
+has no Iceberg jars, so the same transactional contract is implemented over
+a parquet directory tree:
+
+    <root>/<table>/gen=<g>/part-*.parquet     (data, staged per generation)
+    <root>/_commits/<g>.json                  (the transaction marker)
+
+A generation's writes across ALL tables become visible atomically when the
+manifest `_commits/<g>.json` lands (os.replace — atomic on POSIX). Readers
+only see generations listed in committed manifests, so a crashed run leaves
+no partial snapshot (W4/W5: rollback = simply never committing). Resume =
+max committed generation (the `GetProblemlist` recovery analog,
+main.go:132-153).
+
+`url_seen` is a keyed upsert (A5), stored as per-generation full snapshots
+(it is the compacted key set, far smaller than the append tables; a real
+deployment MERGEs into Iceberg instead — see `IcebergWarehouse`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+APPEND_TABLES = ("problems", "images", "fetch_log", "lineage", "listing")
+SNAPSHOT_TABLES = ("url_seen", "host_state")
+
+
+class ParquetWarehouse:
+    def __init__(self, root: str, spark: SparkSession):
+        self.root = Path(root)
+        self.spark = spark
+        (self.root / "_commits").mkdir(parents=True, exist_ok=True)
+
+    # -- transaction protocol ------------------------------------------------
+
+    def stage_append(self, table: str, df: DataFrame, generation: int) -> None:
+        """Stage an append for this generation (invisible until commit)."""
+        path = self.root / table / f"gen={generation}"
+        if path.exists():
+            shutil.rmtree(path)  # idempotent restage after a crashed run
+        df.write.mode("overwrite").parquet(str(path))
+
+    def stage_snapshot(self, table: str, df: DataFrame, generation: int) -> None:
+        """Stage a full-snapshot table version (url_seen / host_state)."""
+        self.stage_append(table, df, generation)
+
+    def commit(self, generation: int, metrics: dict | None = None) -> None:
+        """Make generation `g` visible atomically (W4)."""
+        manifest = {
+            "generation": generation,
+            "committed_at": time.time(),
+            "metrics": metrics or {},
+        }
+        tmp = self.root / "_commits" / f".{generation}.json.tmp"
+        tmp.write_text(json.dumps(manifest, indent=1))
+        os.replace(tmp, self.root / "_commits" / f"{generation}.json")
+
+    def rollback_staged(self, generation: int) -> None:
+        """Discard staged-but-uncommitted data (W5; normally unnecessary —
+        uncommitted generations are invisible anyway)."""
+        for table in APPEND_TABLES + SNAPSHOT_TABLES:
+            path = self.root / table / f"gen={generation}"
+            if path.exists() and not self._is_committed(generation):
+                shutil.rmtree(path)
+
+    # -- reads ---------------------------------------------------------------
+
+    def committed_generations(self) -> list[int]:
+        return sorted(
+            int(p.stem) for p in (self.root / "_commits").glob("*.json")
+        )
+
+    def last_generation(self) -> int | None:
+        gens = self.committed_generations()
+        return gens[-1] if gens else None
+
+    def _is_committed(self, generation: int) -> bool:
+        return (self.root / "_commits" / f"{generation}.json").exists()
+
+    def read_appends(self, table: str) -> DataFrame | None:
+        """Union of all committed generations of an append table."""
+        dirs = [
+            str(self.root / table / f"gen={g}")
+            for g in self.committed_generations()
+            if (self.root / table / f"gen={g}").exists()
+        ]
+        if not dirs:
+            return None
+        return self.spark.read.parquet(*dirs)
+
+    def read_snapshot(self, table: str) -> DataFrame | None:
+        """Latest committed snapshot of a snapshot table."""
+        for g in reversed(self.committed_generations()):
+            path = self.root / table / f"gen={g}"
+            if path.exists():
+                return self.spark.read.parquet(str(path))
+        return None
+
+    def manifest(self, generation: int) -> dict:
+        return json.loads((self.root / "_commits" / f"{generation}.json").read_text())
+
+
+class IcebergWarehouse:  # pragma: no cover - jars absent in this sandbox
+    """Drop-in for a real cluster: same method surface over an Iceberg
+    catalog. Appends → `df.writeTo(tbl).append()` inside one snapshot;
+    url_seen → `MERGE INTO`; commit/rollback → Iceberg snapshot semantics
+    (W4/W5 for free); resume → snapshot log. Requires
+    spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog on the
+    submit conf.
+    """
+
+    def __init__(self, catalog: str, namespace: str, spark: SparkSession):
+        raise NotImplementedError(
+            "Iceberg jars are not on this sandbox's classpath; "
+            "use ParquetWarehouse (identical transactional contract)"
+        )

@@ -1,0 +1,156 @@
+"""Golden crawl-loop tests (SURVEY §5.2-5.3): the Spark engine vs the pure-
+Python restatement of the reference semantics, plus invariant and resume
+checks — all on the deterministic synthetic web."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from crawler_spark.plans.run import run_crawl
+from crawler_spark.sources import codecs
+from crawler_spark.sources.warehouse import ParquetWarehouse
+from tests.reference_impl import reference_crawl
+
+GENERATIONS = 2
+LIMIT = 6
+
+
+@pytest.fixture(scope="session")
+def crawled(spark, web, tmp_path_factory):
+    whdir = str(tmp_path_factory.mktemp("wh"))
+    metrics = run_crawl(spark, whdir, web, generations=GENERATIONS, limit=LIMIT,
+                        num_buckets=4)
+    wh = ParquetWarehouse(whdir, spark)
+    ref = reference_crawl(web, GENERATIONS, LIMIT)
+    return wh, ref, metrics
+
+
+def test_url_seen_set_matches_reference(crawled):
+    wh, ref, _ = crawled
+    got = {
+        (r.judge, r.pid): r.title
+        for r in wh.read_snapshot("url_seen").collect()
+    }
+    assert got == ref["seen"]
+
+
+def test_crawl_order_matches_reference(crawled):
+    wh, ref, _ = crawled
+    got = sorted(
+        (r.generation, r.judge, r.pid, r.crawl_seq)
+        for r in wh.read_appends("problems").collect()
+    )
+    assert got == sorted(ref["crawl_order"])
+
+
+def test_problem_rows_match_reference(crawled):
+    wh, ref, _ = crawled
+    rows = {
+        (r.generation, r.judge, r.pid): r
+        for r in wh.read_appends("problems").collect()
+    }
+    assert set(rows) == set(ref["problems"])
+    for key, want in ref["problems"].items():
+        r = rows[key]
+        assert r.status == want["status"], key
+        if want["status"] == "ok":
+            assert r.title == want["title"], key
+            assert r.description == want["description"], key
+        else:
+            # C3/W3: failed fetch keeps its listing entry, writes no content
+            assert r.description is None
+
+
+def test_images_match_reference_with_psnr(crawled, web):
+    wh, ref, _ = crawled
+    got = {r.image_id: r for r in wh.read_appends("images").collect()}
+    want_keys = {k for (_g, k) in ref["images"]}
+    assert set(got) == want_keys
+    for (_g, key), want in ref["images"].items():
+        r = got[key]
+        assert r.caption == want["caption"], key  # caption equality (input_hint)
+        truth = web.image_rgb(want["url"])
+        decoded = codecs.decode_image(bytes(r.bytes), r.fmt)
+        assert (r.h, r.w) == truth.shape[:2]
+        if r.fmt == "png":
+            assert (decoded == truth).all(), key  # lossless exact
+        else:
+            assert codecs.psnr(truth, decoded) >= 40.0, key  # lossy PSNR gate
+        assert r.phash == codecs.phash64(decoded)
+
+
+def test_politeness_gaps_and_retry_budget(crawled):
+    wh, _, _ = crawled
+    fl = wh.read_appends("fetch_log").toPandas()
+    hs = wh.read_snapshot("host_state").toPandas().set_index("host")
+    assert fl["attempts"].max() <= 3  # C2
+    for host, grp in fl.groupby("host"):
+        ts = np.sort(grp["fetched_at"].to_numpy())
+        gaps_ms = np.diff(ts) * 1000
+        # effective delay ≥ host min_delay (crawl_delay can only raise it)
+        need = hs.loc[host, "min_delay_ms"]
+        assert (gaps_ms >= need - 0.01).all(), (host, gaps_ms.min(), need)
+
+
+def test_failed_links_left_intact(crawled, web):
+    """C3: an image that permanently fails keeps its ORIGINAL link."""
+    wh, ref, _ = crawled
+    descs = [
+        r.description
+        for r in wh.read_appends("problems").collect()
+        if r.description is not None
+    ]
+    assert any("/missing/" in d for d in descs) or all(
+        web.transient_failures(u) < 3
+        for (_g, k) in ref["images"]
+        for u in [ref["images"][(_g, k)]["url"]]
+    )
+
+
+def test_lineage_accounts_for_problem_fetches(crawled):
+    wh, ref, _ = crawled
+    lin = wh.read_appends("lineage").toPandas()
+    per_gen = lin.groupby("generation")[["urls_in", "fetched", "failed"]].sum()
+    for g in range(GENERATIONS):
+        want = sum(1 for (gg, _j, _p, _s) in ref["crawl_order"] if gg == g)
+        assert per_gen.loc[g, "urls_in"] == want
+        assert (
+            per_gen.loc[g, "fetched"] + per_gen.loc[g, "failed"]
+            == per_gen.loc[g, "urls_in"]
+        )
+
+
+def test_resume_is_idempotent(spark, web, tmp_path_factory, crawled):
+    """Kill-and-resume (W4/W5): run gen 0, then resume to gen 1 in a second
+    process-equivalent call; final state equals the uninterrupted run."""
+    wh_full, _, _ = crawled
+    whdir = str(tmp_path_factory.mktemp("wh_resume"))
+    run_crawl(spark, whdir, web, generations=1, limit=LIMIT, num_buckets=4)
+    # resume: asks for 2 generations; generation 0 must be skipped
+    run_crawl(spark, whdir, web, generations=GENERATIONS, limit=LIMIT, num_buckets=4)
+    wh2 = ParquetWarehouse(whdir, spark)
+    assert wh2.committed_generations() == [0, 1]
+
+    seen_a = {(r.judge, r.pid, r.title) for r in wh_full.read_snapshot("url_seen").collect()}
+    seen_b = {(r.judge, r.pid, r.title) for r in wh2.read_snapshot("url_seen").collect()}
+    assert seen_a == seen_b
+    prob_a = sorted(
+        (r.generation, r.judge, r.pid, r.crawl_seq, r.status)
+        for r in wh_full.read_appends("problems").collect()
+    )
+    prob_b = sorted(
+        (r.generation, r.judge, r.pid, r.crawl_seq, r.status)
+        for r in wh2.read_appends("problems").collect()
+    )
+    assert prob_a == prob_b
+
+
+def test_uncommitted_generation_is_invisible(spark, web, tmp_path_factory):
+    """A crash before the manifest lands = rollback (W5)."""
+    whdir = str(tmp_path_factory.mktemp("wh_crash"))
+    wh = ParquetWarehouse(whdir, spark)
+    df = spark.createDataFrame([("j", "P1")], "judge string, pid string")
+    wh.stage_append("problems", df, 0)  # staged, never committed
+    assert wh.read_appends("problems") is None
+    assert wh.last_generation() is None

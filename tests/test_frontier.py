@@ -1,0 +1,69 @@
+"""Selection semantics — exact ChooseUpdateProblem parity (tools.go:327-353)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from crawler_spark.operators.frontier import select_generation
+
+
+def _listing(spark, rows):
+    return spark.createDataFrame(
+        rows, "judge string, pid string, title string, listing_pos int"
+    )
+
+
+def _seen(spark, rows):
+    return spark.createDataFrame(rows, "judge string, pid string, title string")
+
+
+def test_due_unbounded_and_fill_to_limit(spark):
+    listing = _listing(
+        spark,
+        [("j", f"P{i}", f"t{i}", i) for i in range(10)],
+    )
+    # 4 seen-and-unchanged, 1 seen-but-changed, 5 new
+    seen = _seen(
+        spark,
+        [("j", "P0", "t0"), ("j", "P1", "t1"), ("j", "P2", "t2"),
+         ("j", "P3", "t3"), ("j", "P4", "OLD")],
+    )
+    out = select_generation(listing, seen, limit=3, seed="s").collect()
+    due = sorted(r.pid for r in out if r.is_due)
+    assert due == ["P4", "P5", "P6", "P7", "P8", "P9"]  # unbounded delta pass
+    assert len(out) == 6  # due(6) > limit(3) ⇒ no fill at all
+    # due rows keep listing order
+    order = [r.pid for r in sorted(out, key=lambda r: r.crawl_seq)]
+    assert order == ["P4", "P5", "P6", "P7", "P8", "P9"]
+
+
+def test_fill_order_is_seeded_md5(spark):
+    listing = _listing(spark, [("j", f"P{i}", f"t{i}", i) for i in range(6)])
+    seen = _seen(spark, [("j", f"P{i}", f"t{i}") for i in range(6)])  # all seen
+    out = sorted(select_generation(listing, seen, limit=4, seed="sd").collect(),
+                 key=lambda r: r.crawl_seq)
+    assert len(out) == 4 and not any(r.is_due for r in out)
+    want = sorted(
+        (f"P{i}" for i in range(6)),
+        key=lambda p: hashlib.md5(f"sdj|{p}".encode()).hexdigest(),
+    )[:4]
+    assert [r.pid for r in out] == want
+
+
+def test_limit_clamped_to_list_size(spark):
+    listing = _listing(spark, [("j", f"P{i}", f"t{i}", i) for i in range(3)])
+    seen = _seen(spark, [("j", f"P{i}", f"t{i}") for i in range(3)])
+    out = select_generation(listing, seen, limit=50, seed="s")
+    assert out.count() == 3  # tools.go:329-331
+
+
+def test_per_judge_partitioning(spark):
+    listing = _listing(
+        spark,
+        [("a", f"P{i}", f"t{i}", i) for i in range(5)]
+        + [("b", f"P{i}", f"t{i}", i) for i in range(5)],
+    )
+    seen = _seen(spark, [(j, f"P{i}", f"t{i}") for j in "ab" for i in range(5)])
+    out = select_generation(listing, seen, limit=2, seed="s")
+    counts = {r.judge: r.n for r in out.groupBy("judge").count().withColumnRenamed("count", "n").collect()}
+    assert counts == {"a": 2, "b": 2}

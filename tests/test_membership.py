@@ -1,0 +1,56 @@
+"""Membership invariants — bloom no-false-negatives, cuckoo delete, and the
+bloom-prefiltered anti-join equivalence (SURVEY §5.3)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from crawler_spark.operators.membership import (
+    NumpyBloom,
+    NumpyCuckoo,
+    bloom_prefiltered_anti_join,
+    exact_anti_join,
+)
+
+
+def test_bloom_no_false_negatives():
+    rng = np.random.default_rng(42)
+    keys = rng.integers(-(2**62), 2**62, size=20_000, dtype=np.int64)
+    bloom = NumpyBloom(capacity=20_000, fpp=0.01)
+    bloom.add(keys)
+    assert bloom.might_contain(keys).all()  # the load-bearing property
+
+
+def test_bloom_false_positive_rate_reasonable():
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 2**62, size=20_000, dtype=np.int64)
+    other = rng.integers(-(2**62), -1, size=20_000, dtype=np.int64)
+    bloom = NumpyBloom(capacity=20_000, fpp=0.01)
+    bloom.add(keys)
+    fpr = bloom.might_contain(other).mean()
+    assert fpr < 0.05, fpr
+
+
+def test_cuckoo_insert_contains_delete():
+    cf = NumpyCuckoo(capacity=5_000)
+    keys = list(range(1, 3_000, 3))
+    for k in keys:
+        assert cf.insert(k)
+    assert all(cf.contains(k) for k in keys)
+    for k in keys[: len(keys) // 2]:
+        assert cf.delete(k)
+    # deleted keys gone (cuckoo deletes are exact for inserted keys)
+    still = [k for k in keys[: len(keys) // 2] if cf.contains(k)]
+    # fingerprint collisions may leave a few phantom hits, but never many
+    assert len(still) < len(keys) // 20
+    assert all(cf.contains(k) for k in keys[len(keys) // 2 :])
+
+
+def test_bloom_prefiltered_anti_join_equals_exact(spark):
+    new = spark.range(0, 5_000).selectExpr("id as k", "id % 7 as v")
+    seen = spark.range(0, 5_000, 3).selectExpr("id as k")
+    fast = bloom_prefiltered_anti_join(new, seen, "k")
+    slow = exact_anti_join(new, seen, "k")
+    assert sorted(r.k for r in fast.collect()) == sorted(r.k for r in slow.collect())
+    expected = [i for i in range(5_000) if i % 3 != 0]
+    assert sorted(r.k for r in slow.collect()) == expected
