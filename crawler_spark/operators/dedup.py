@@ -1,0 +1,331 @@
+"""Deduplication operators for the training-data pipeline.
+
+The reference deduplicates only by exact map-key idempotence
+(/root/reference/plugin/public/tools.go:239,279 — same image URL overwrites
+the same FileList key) and by the (pid,title) seen-set delta
+(tools.go:337-343).  A 100-TB training-data pipeline needs the full dedup
+ladder, so this module adds, Spark-first:
+
+- **exact**        — hash-groupBy on md5(text); one shuffle, map-side partial
+                     aggregation collapses duplicates before they move.
+- **MinHash+LSH**  — shingle → 16-perm minhash signature → 4×4 banding →
+                     band-bucket self-join → candidate pairs.  The only
+                     shuffles are the signature groupBy and the band join
+                     (band_key is the join key, so the join is
+                     candidate-generating, never N²).
+- **SimHash**      — 32-bit simhash from per-word votes; near-pairs via the
+                     pigeonhole chunk join (4×8-bit chunks: any pair with
+                     hamming ≤ 3 shares ≥1 chunk), exact `bit_count(xor)`
+                     verify after the join.
+- **n-gram Jaccard** — exact jaccard via shingle-key self-join (inverted
+                     index join, not cartesian).
+- **embedding cosine** — blocked self-join + `zip_with`/`aggregate` dot
+                     product, all JVM-side.
+
+Everything is a pure Column expression — zero Python UDFs — so every operator
+here is whole-stage-codegen'd and mirrors 1:1 into the DuckDB oracle SQL
+(hashing is md5-hex, min/compare on hex strings is binary collation in both
+engines).
+
+Scale notes (100 TB): shingle explosion is the big intermediate — it is
+produced and consumed map-side into the signature aggregation (one shuffle of
+|docs|×P small rows).  Band join keys are md5 strings → uniformly
+distributed, no skew salting needed.  The pair join output is bounded by the
+banding false-positive rate, not |docs|².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HEX = "0123456789abcdef"
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: md5(text) → (hash, n_dups, canonical doc_id).
+
+    The canonical representative is the min doc_id (deterministic).  One
+    shuffle; partial aggregation collapses dup groups map-side.
+    """
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def with_shingles(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """Add ``shingles``: distinct k-word shingles of ``text``.
+
+    Whitespace-split; docs with < k words are dropped (both engines agree).
+    Pure `transform` over a `sequence` — no UDF, no explode yet.
+    """
+    w = F.split(F.col(text_col), r"\s+")
+    docs = docs.withColumn("__w", w).filter(F.size("__w") >= k)
+    parts = ", ".join(f"__w[i - 1 + {j}]" for j in range(k))
+    sh = F.expr(
+        f"array_distinct(transform(sequence(1, size(__w) - {k - 1}), "
+        f"i -> concat_ws(' ', {parts})))"
+    )
+    return docs.withColumn("shingles", sh).drop("__w")
+
+
+def exploded_shingles(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) rows — the inverted-index substrate."""
+    return with_shingles(docs, k, text_col).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    docs: DataFrame, num_perm: int = 16, k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Per-doc minhash signature: s_i = min over shingles of md5(i ‖ ':' ‖ sh).
+
+    All ``num_perm`` mins are computed in ONE aggregation over the exploded
+    shingles (single shuffle keyed by doc_id; partial min map-side), instead
+    of exploding ×num_perm.  Hex-string min == lexicographic min in both
+    Spark and DuckDB (binary collation), so the oracle mirrors exactly.
+
+    Returns (doc_id, s0..s{P-1}, sig:array<string>).
+    """
+    sh = exploded_shingles(docs, k, text_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"s{i}")
+        for i in range(num_perm)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.withColumn("sig", F.array(*[F.col(f"s{i}") for i in range(num_perm)]))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    num_perm: int = 16,
+    bands: int = 4,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """LSH banding: band_key_b = md5(s_{b·r} ‖ '|' ‖ … ‖ s_{b·r+r-1});
+    candidate pair ⇔ docs share any band key.  est_jaccard = matching
+    signature fraction.  Returns distinct (a_id, b_id, est_jaccard ≥ min).
+
+    The self-join is keyed on (band_id, band_key) — an inverted-index join;
+    md5 keys are uniform so there is no skew to salt.
+    """
+    rows = num_perm // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"s{b * rows + j}") for j in range(rows)]
+        band_cols.append(F.struct(F.lit(b).alias("band_id"),
+                                  F.md5(F.concat_ws("|", *cols)).alias("band_key")))
+    banded = signatures.select(
+        "doc_id", "sig", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", "sig", "band.band_id", "band.band_key")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    est = F.expr(
+        f"aggregate(zip_with(a.sig, b.sig, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), "
+        f"0, (acc, v) -> acc + v) / CAST({num_perm} AS DOUBLE)"
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.round(est, 4).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+        .distinct()
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def _bit_expr(hash_col: str, b: int) -> str:
+    """Spark-SQL expr for bit b (0 = MSB of first hex digit) of md5 hex."""
+    pos = b // 4 + 1
+    shift = 3 - b % 4
+    return (
+        f"((instr('{HEX}', substring({hash_col}, {pos}, 1)) - 1) >> {shift}) & 1"
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text") -> DataFrame:
+    """32-bit SimHash: per-word md5 bit votes weighted by term count.
+
+    simhash = Σ_b [ Σ_words cnt·(2·bit_b−1) > 0 ] · 2^b.  Pure column math —
+    the per-bit sums are ``bits`` conditional aggregates over the exploded
+    words (one shuffle keyed by doc_id, partial sums map-side).
+    """
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), r"\s+")).alias("word")
+    )
+    wc = words.groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
+    wh = wc.withColumn("h", F.md5("word"))
+    votes = [
+        F.sum(F.col("cnt") * (F.expr(_bit_expr("h", b)) * 2 - 1)).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    v = wh.groupBy("doc_id").agg(*votes)
+    acc = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN 1 ELSE 0 END) * CAST({1 << b} AS BIGINT)"
+        for b in range(bits)
+    )
+    return v.select("doc_id", F.expr(acc).alias("simhash"))
+
+
+def simhash_near_pairs(
+    sim: DataFrame, bits: int = 32, chunks: int = 4, max_hamming: int = 3
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance.
+
+    Pigeonhole blocking: split the ``bits``-bit hash into ``chunks`` equal
+    chunks — any pair with hamming ≤ chunks−1 shares at least one chunk, so
+    the chunk-equality self-join is a complete candidate generator for
+    ``max_hamming ≤ chunks−1``; exact ``bit_count(xor)`` verifies after.
+    """
+    if max_hamming > chunks - 1:
+        raise ValueError("pigeonhole requires max_hamming <= chunks - 1")
+    w = bits // chunks
+    mask = (1 << w) - 1
+    chunk_cols = [
+        F.struct(
+            F.lit(j).alias("chunk_id"),
+            F.expr(f"(simhash >> {j * w}) & {mask}").alias("chunk_val"),
+        )
+        for j in range(chunks)
+    ]
+    chunked = sim.select(
+        "doc_id", "simhash", F.explode(F.array(*chunk_cols)).alias("c")
+    ).select("doc_id", "simhash", "c.chunk_id", "c.chunk_val")
+    a, b = chunked.alias("a"), chunked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, k: int = 3, min_jaccard: float = 0.6, text_col: str = "text"
+) -> DataFrame:
+    """Exact Jaccard over k-word shingle sets via inverted-index self-join.
+
+    |A∩B| from the shingle-key join (never cartesian), |A| and |B| from a
+    per-doc count, jaccard = inter / (|A|+|B|−inter).
+    """
+    sh = exploded_shingles(docs, k, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb"))
+    jac = F.round(
+        F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"), 4
+    )
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select("a_id", "b_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def cosine_expr(a: str, b: str) -> F.Column:
+    """cos(a,b) as dot/(‖a‖·‖b‖) — zip_with + aggregate folds, JVM-side,
+    double precision, left-to-right order (matches the DuckDB oracle)."""
+    def dot(x: str, y: str) -> str:
+        return (
+            f"aggregate(zip_with({x}, {y}, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+
+    return F.expr(f"{dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)}))")
+
+
+def embedding_near_pairs(
+    emb: DataFrame,
+    min_cosine: float = 0.9,
+    block_col: str = "label",
+) -> DataFrame:
+    """Embedding near-duplicate pairs, blocked self-join on ``block_col``.
+
+    Blocking bounds the pair count to Σ block² instead of N²; at 100 TB the
+    block column is a coarse quantizer (IVF cell / LSH bucket — see
+    similarity.sign_lsh_bucket), here any low-cardinality partition key.
+    """
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = F.round(cosine_expr("a.embedding", "b.embedding"), 4)
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )

@@ -1,0 +1,636 @@
+"""Training-data-pipeline queries (dedup / similarity / text / multimodal)
+with DuckDB oracles — the ANALYTICS_QUERIES half of the driver contract.
+
+Every Spark query here is built from crawler_spark.operators.{dedup,
+similarity, multimodal} and functions.textstats; every oracle is the same
+computation in DuckDB SQL.  Engine parity rests on three deliberate choices:
+
+1. all content hashing is md5 hex (identical in both engines; min/compare on
+   hex strings is binary collation in both);
+2. all float output is computed in DOUBLE with the same operation order and
+   rounded (4 dp) before it leaves the query;
+3. every ordering / top-k uses a total, engine-independent sort key
+   (rounded score, then id).
+
+Near-duplicate inputs are PLANTED deterministically inside the query's
+corpus view (doc variants with the first word dropped, exact copies, vectors
+with one perturbed dim), identically in both dialects — the raw testdata has
+no near-dups, and a dedup operator that always returns 0 rows proves
+nothing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawler_spark.functions import textstats as TS
+from crawler_spark.operators import dedup as DD
+from crawler_spark.operators import multimodal as MM
+from crawler_spark.operators import similarity as SIM
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+HEX = "0123456789abcdef"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# corpus views with planted duplicates
+# ---------------------------------------------------------------------------
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ near-dup variants (doc_id%10==0, first word dropped,
+    id+1000000) ∪ exact copies (doc_id%17==0, id+2000000)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    near = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+        "source",
+    )
+    exact = d.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text", "source"
+    )
+    return d.unionByName(near).unionByName(exact)
+
+
+CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         substr(text, strpos(text, ' ') + 1) AS text, source
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text, source
+  FROM documents WHERE doc_id % 17 = 0
+)"""
+
+
+def _vcorpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings (cast double) ∪ near-dup vectors: vec_id%25==0 planted as
+    vec_id+1000000 with dim0 += 0.25."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+    )
+    near = e.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        "label",
+        F.expr(
+            "transform(sequence(1, size(embedding)), i -> "
+            "CASE WHEN i = 1 THEN embedding[0] + CAST(0.25 AS DOUBLE) "
+            "ELSE embedding[i - 1] END)"
+        ).alias("embedding"),
+    )
+    return e.unionByName(near)
+
+
+VCORPUS_SQL = """
+vcorpus AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, label,
+         list_transform(generate_series(1, len(embedding)), i ->
+           CASE WHEN i = 1 THEN CAST(embedding[1] AS DOUBLE) + 0.25
+                ELSE CAST(embedding[i] AS DOUBLE) END) AS embedding
+  FROM embeddings WHERE vec_id % 25 = 0
+)"""
+
+# shared DuckDB fragments ----------------------------------------------------
+
+SHINGLE3_SQL = """
+wordsv AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM corpus
+),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - 2),
+                i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS shingle
+  FROM wordsv WHERE len(w) >= 3
+)"""
+
+DOT_A_B = "list_dot_product(a.embedding, b.embedding)"
+NORM = "sqrt(list_dot_product({x}.embedding, {x}.embedding))"
+COS_AB = f"{DOT_A_B} / ({NORM.format(x='a')} * {NORM.format(x='b')})"
+
+
+# ---------------------------------------------------------------------------
+# dedup queries
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = DD.exact_dup_groups(_corpus(spark, sf_dir))
+    return out.select(
+        "text_md5",
+        F.col("n_dups").cast("long").alias("n_dups"),
+        F.col("keep_doc_id").cast("long").alias("keep_doc_id"),
+        F.col("doc_ids").cast("array<long>").alias("doc_ids"),
+    )
+
+
+SQL_DEDUP_EXACT = f"""
+WITH {CORPUS_SQL.strip()}
+SELECT md5(text) AS text_md5, CAST(count(*) AS BIGINT) AS n_dups,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+       list_sort(list(doc_id)) AS doc_ids
+FROM corpus GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = DD.minhash_signatures(_corpus(spark, sf_dir), num_perm=16)
+    out = DD.lsh_candidate_pairs(sig, num_perm=16, bands=4, min_est_jaccard=0.5)
+    return out.select(
+        F.col("a_id").cast("long").alias("a_id"),
+        F.col("b_id").cast("long").alias("b_id"),
+        F.col("est_jaccard").cast("double").alias("est_jaccard"),
+    )
+
+
+def _minhash_sql(num_perm: int = 16, bands: int = 4) -> str:
+    rows = num_perm // bands
+    mins = ",\n         ".join(
+        f"min(md5('{i}:' || shingle)) AS s{i}" for i in range(num_perm)
+    )
+    band_selects = []
+    for b in range(bands):
+        key = " || '|' || ".join(f"s{b * rows + j}" for j in range(rows))
+        band_selects.append(
+            f"SELECT doc_id, sig, {b} AS band_id, md5({key}) AS band_key FROM sigs"
+        )
+    bands_sql = "\n  UNION ALL\n  ".join(band_selects)
+    sig_list = ", ".join(f"s{i}" for i in range(num_perm))
+    eq_sum = " + ".join(
+        f"(CASE WHEN a.sig[{i + 1}] = b.sig[{i + 1}] THEN 1 ELSE 0 END)"
+        for i in range(num_perm)
+    )
+    return f"""
+WITH {CORPUS_SQL.strip()},
+{SHINGLE3_SQL.strip()},
+sigs AS (
+  SELECT doc_id,
+         {mins}
+  FROM shingles GROUP BY doc_id
+),
+sigv AS (SELECT *, [{sig_list}] AS sig FROM sigs),
+banded AS (
+  {bands_sql.replace("FROM sigs", "FROM sigv")}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         round(CAST(({eq_sum}) AS DOUBLE) / {num_perm}, 4) AS est_jaccard
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+)
+SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id,
+       CAST(est_jaccard AS DOUBLE) AS est_jaccard
+FROM pairs WHERE est_jaccard >= 0.5
+"""
+
+
+SQL_DEDUP_MINHASH = _minhash_sql()
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sim = DD.simhash(_corpus(spark, sf_dir), bits=32)
+    out = DD.simhash_near_pairs(sim, bits=32, chunks=4, max_hamming=3)
+    return out.select(
+        F.col("a_id").cast("long").alias("a_id"),
+        F.col("b_id").cast("long").alias("b_id"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )
+
+
+def _simhash_sql(bits: int = 32, chunks: int = 4, max_hamming: int = 3) -> str:
+    votes = []
+    for b in range(bits):
+        pos = b // 4 + 1
+        shift = 3 - b % 4
+        bit = (
+            f"((strpos('{HEX}', substr(h, {pos}, 1)) - 1) >> {shift}) & 1"
+        )
+        votes.append(f"sum(cnt * (({bit}) * 2 - 1)) AS v{b}")
+    votes_sql = ",\n         ".join(votes)
+    acc = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN 1 ELSE 0 END) * CAST({1 << b} AS BIGINT)"
+        for b in range(bits)
+    )
+    w = bits // chunks
+    mask = (1 << w) - 1
+    chunk_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, simhash, {j} AS chunk_id, (simhash >> {j * w}) & {mask} AS chunk_val FROM sh"
+        for j in range(chunks)
+    )
+    return f"""
+WITH {CORPUS_SQL.strip()},
+words AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS word FROM corpus
+),
+wc AS (
+  SELECT doc_id, word, count(*) AS cnt FROM words GROUP BY doc_id, word
+),
+wh AS (SELECT doc_id, cnt, md5(word) AS h FROM wc),
+v AS (
+  SELECT doc_id,
+         {votes_sql}
+  FROM wh GROUP BY doc_id
+),
+sh AS (SELECT doc_id, {acc} AS simhash FROM v),
+chunked AS (
+  {chunk_selects}
+)
+SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS a_id,
+       CAST(b.doc_id AS BIGINT) AS b_id,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM chunked a JOIN chunked b
+  ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+ AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+SQL_DEDUP_SIMHASH = _simhash_sql()
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = DD.ngram_jaccard_pairs(_corpus(spark, sf_dir), k=3, min_jaccard=0.6)
+    return out.select(
+        F.col("a_id").cast("long").alias("a_id"),
+        F.col("b_id").cast("long").alias("b_id"),
+        F.col("jaccard").cast("double").alias("jaccard"),
+    )
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH {CORPUS_SQL.strip()},
+{SHINGLE3_SQL.strip()},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT CAST(i.a_id AS BIGINT) AS a_id, CAST(i.b_id AS BIGINT) AS b_id,
+       round(CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a_id
+JOIN sizes sb ON sb.doc_id = i.b_id
+WHERE round(CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter), 4) >= 0.6
+"""
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = DD.embedding_near_pairs(_vcorpus(spark, sf_dir), min_cosine=0.8)
+    return out.select(
+        F.col("a_id").cast("long").alias("a_id"),
+        F.col("b_id").cast("long").alias("b_id"),
+        F.col("cosine").cast("double").alias("cosine"),
+    )
+
+
+SQL_DEDUP_EMBEDDING = f"""
+WITH {VCORPUS_SQL.strip()}
+SELECT CAST(a.vec_id AS BIGINT) AS a_id, CAST(b.vec_id AS BIGINT) AS b_id,
+       round({COS_AB}, 4) AS cosine
+FROM vcorpus a JOIN vcorpus b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({COS_AB}, 4) >= 0.8
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 8)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias(
+                "q_embedding"
+            ),
+        )
+    )
+
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+    )
+    out = SIM.brute_force_topk(emb, _queries_df(spark, sf_dir), k=10)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cosine").cast("double").alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+SQL_ANN_BRUTEFORCE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS q_embedding FROM e WHERE vec_id < 8
+),
+scored AS (
+  SELECT q.query_id, a.vec_id,
+         round(list_dot_product(a.embedding, q.q_embedding) /
+               (sqrt(list_dot_product(a.embedding, a.embedding)) *
+                sqrt(list_dot_product(q.q_embedding, q.q_embedding))), 4) AS cosine
+  FROM e a CROSS JOIN q WHERE a.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(cosine AS DOUBLE) AS cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+_LSH_DIMS = [0, 16, 32, 48]
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+    )
+    out = SIM.lsh_bucketed_topk(
+        emb, _queries_df(spark, sf_dir), k=5, dims=_LSH_DIMS
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cosine").cast("double").alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def _lsh_bucket_sql(col: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN {col}[{d + 1}] >= 0 THEN 1 ELSE 0 END) * {1 << i}"
+        for i, d in enumerate(_LSH_DIMS)
+    )
+
+
+SQL_ANN_LSH = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding,
+         {_lsh_bucket_sql("embedding")} AS bucket
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS q_embedding, bucket
+  FROM e WHERE vec_id < 8
+),
+scored AS (
+  SELECT q.query_id, a.vec_id,
+         round(list_dot_product(a.embedding, q.q_embedding) /
+               (sqrt(list_dot_product(a.embedding, a.embedding)) *
+                sqrt(list_dot_product(q.q_embedding, q.q_embedding))), 4) AS cosine
+  FROM e a JOIN q ON a.bucket = q.bucket WHERE a.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(cosine AS DOUBLE) AS cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", *TS.lang_scores("text")
+    )
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("lang").alias("actual_lang"),
+        TS.lang_predict().alias("pred_lang"),
+        *[
+            F.col(f"score_{lang}").cast("int").alias(f"score_{lang}")
+            for lang in TS.LANG_MARKERS
+        ],
+    )
+
+
+def _langid_sql() -> str:
+    score_exprs = ",\n       ".join(
+        "CAST(len(regexp_extract_all(text, '\\b("
+        + "|".join(markers)
+        + ")\\b')) AS INTEGER) AS score_"
+        + lang
+        for lang, markers in TS.LANG_MARKERS.items()
+    )
+    langs = list(TS.LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " ELSE 'und' END"
+    cols = ", ".join(f"score_{lang}" for lang in langs)
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+       {score_exprs}
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang AS actual_lang,
+       {case} AS pred_lang, {cols}
+FROM scored
+"""
+
+
+SQL_TEXT_LANGID = _langid_sql()
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), *TS.quality_features("text")
+    )
+    return d.withColumn("quality", TS.quality_score())
+
+
+def _quality_sql() -> str:
+    stop_pat = r"\b(" + "|".join(TS.STOPWORDS) + r")\b"
+    return f"""
+WITH feat AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         round((CAST(length(text) AS DOUBLE) - len(regexp_split_to_array(trim(text), '\\s+')) + 1)
+               / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS mean_word_len,
+         round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+               / length(text), 4) AS punct_ratio,
+         round(CAST(len(regexp_extract_all(text, '{stop_pat}')) AS DOUBLE)
+               / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS stopword_ratio
+  FROM documents
+)
+SELECT *,
+       round((CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1 ELSE 0 END) * CAST(0.4 AS DOUBLE)
+           + (CASE WHEN mean_word_len BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END) * CAST(0.3 AS DOUBLE)
+           + (CASE WHEN stopword_ratio > 0 THEN 1 ELSE 0 END) * CAST(0.2 AS DOUBLE)
+           + (CASE WHEN punct_ratio < 0.3 THEN 1 ELSE 0 END) * CAST(0.1 AS DOUBLE), 4) AS quality
+FROM feat
+"""
+
+
+SQL_TEXT_QUALITY = _quality_sql()
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = F.col("text")
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        TS.ws_token_count(t).cast("long").alias("ws_tokens"),
+        TS.bpe_ish_token_count(t).cast("long").alias("bpe_tokens"),
+        F.round(
+            F.length(t).cast("double") / TS.bpe_ish_token_count(t), 4
+        ).alias("chars_per_token"),
+    )
+
+
+SQL_TEXT_TOKENS = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{TS.BPE_TOKEN_RE}')) AS BIGINT) AS bpe_tokens,
+       round(CAST(length(text) AS DOUBLE)
+             / len(regexp_extract_all(text, '{TS.BPE_TOKEN_RE}')), 4) AS chars_per_token
+FROM documents
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = TS.with_fingerprint(_t(spark, sf_dir, "documents"), "text", k=4)
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.col("fingerprint")
+    )
+
+
+SQL_TEXT_FINGERPRINT = """
+WITH wordsv AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       list_min(list_transform(generate_series(1, len(w) - 3),
+         i -> md5(w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3])))
+       AS fingerprint
+FROM wordsv WHERE len(w) >= 4
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+def q_mm_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    imgs = MM.synthesize_images(_t(spark, sf_dir, "documents"))
+    return (
+        imgs.groupBy("fmt")
+        .agg(
+            F.count("*").cast("long").alias("n_images"),
+            F.sum(F.length("bytes")).cast("long").alias("total_bytes"),
+            F.min("w").cast("int").alias("min_w"),
+            F.max("h").cast("int").alias("max_h"),
+            F.countDistinct("caption").cast("long").alias("n_captions"),
+        )
+    )
+
+
+SQL_MM_IMAGE_METADATA = """
+WITH imgs AS (
+  SELECT 'img-' || CAST(doc_id AS VARCHAR) AS image_id,
+         unhex(md5(text)) AS bytes,
+         CAST((strpos('0123456789abcdef', substr(md5(text), 1, 1))) * 16 + 16 AS INTEGER) AS w,
+         CAST((strpos('0123456789abcdef', substr(md5(text), 2, 1))) * 16 + 16 AS INTEGER) AS h,
+         (['png', 'jpeg', 'webp'])[CAST(doc_id % 3 AS INTEGER) + 1] AS fmt,
+         substr(text, 1, 40) AS caption
+  FROM documents
+)
+SELECT fmt, CAST(count(*) AS BIGINT) AS n_images,
+       CAST(sum(octet_length(bytes)) AS BIGINT) AS total_bytes,
+       CAST(min(w) AS INTEGER) AS min_w, CAST(max(h) AS INTEGER) AS max_h,
+       CAST(count(DISTINCT caption) AS BIGINT) AS n_captions
+FROM imgs GROUP BY fmt
+"""
+
+
+def q_mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    imgs = MM.synthesize_images(_t(spark, sf_dir, "documents"))
+    return MM.decode_features(imgs)
+
+
+def _decode_features_sql() -> str:
+    bytes_exprs = [
+        f"((strpos('{HEX}', substr(h, {2 * j + 1}, 1)) - 1) * 16 + "
+        f"(strpos('{HEX}', substr(h, {2 * j + 2}, 1)) - 1))"
+        for j in range(16)
+    ]
+    total = " + ".join(bytes_exprs)
+    least = "least(" + ", ".join(bytes_exprs) + ")"
+    greatest = "greatest(" + ", ".join(bytes_exprs) + ")"
+    return f"""
+WITH imgs AS (
+  SELECT 'img-' || CAST(doc_id AS VARCHAR) AS image_id, md5(text) AS h
+  FROM documents
+)
+SELECT image_id,
+       CAST(16 AS INTEGER) AS n_bytes,
+       CAST({total} AS BIGINT) AS byte_sum,
+       CAST({least} AS INTEGER) AS byte_min,
+       CAST({greatest} AS INTEGER) AS byte_max,
+       CAST(({total}) * 1000 // 16 AS BIGINT) AS mean_millis
+FROM imgs
+"""
+
+
+SQL_MM_DECODE_FEATURES = _decode_features_sql()
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING),
+    "ann_bruteforce_topk": (q_ann_bruteforce, SQL_ANN_BRUTEFORCE),
+    "ann_lsh_bucketed": (q_ann_lsh, SQL_ANN_LSH),
+    "text_langid": (q_text_langid, SQL_TEXT_LANGID),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
+    "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "mm_image_metadata": (q_mm_image_metadata, SQL_MM_IMAGE_METADATA),
+    "mm_decode_features": (q_mm_decode_features, SQL_MM_DECODE_FEATURES),
+}

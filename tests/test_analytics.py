@@ -1,0 +1,245 @@
+"""Property tests for the training-data-pipeline operators (dedup /
+similarity / text / multimodal) over the sf0.001 driver testdata.
+
+Engine-vs-oracle parity is covered by tools/check_oracle.py and the driver
+gate; these tests check the *semantics*: planted duplicates are recovered,
+LSH candidates are supersets/subsets of the exact answers where theory says
+so, and the Arrow plumbing round-trips bytes faithfully.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _corpus(spark):
+    from crawler_spark.plans.analytics_queries import _corpus
+
+    return _corpus(spark, SF)
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+def test_exact_dedup_recovers_planted_copies(spark):
+    from crawler_spark.operators.dedup import exact_dup_groups
+
+    groups = exact_dup_groups(_corpus(spark)).collect()
+    planted = {
+        r.doc_id
+        for r in _docs(spark).filter(F.col("doc_id") % 17 == 0).collect()
+    }
+    # every planted exact copy forms a group keeping the original id
+    found = {r.keep_doc_id for r in groups}
+    assert planted <= found
+    for r in groups:
+        if r.keep_doc_id in planted:
+            assert r.keep_doc_id + 2000000 in r.doc_ids
+
+
+def test_minhash_est_tracks_exact_jaccard(spark):
+    from crawler_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    corpus = _corpus(spark)
+    sig = minhash_signatures(corpus, num_perm=16)
+    pairs = {
+        (r.a_id, r.b_id): r.est_jaccard
+        for r in lsh_candidate_pairs(sig, min_est_jaccard=0.5).collect()
+    }
+    exact = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in ngram_jaccard_pairs(corpus, k=3, min_jaccard=0.0).collect()
+    }
+    assert pairs, "no LSH candidates found"
+    # exact copies (jaccard 1.0) must be found with est 1.0
+    for (a, b), j in exact.items():
+        if j == 1.0:
+            assert pairs.get((a, b)) == 1.0
+    # every reported candidate has genuinely high exact jaccard (16-perm
+    # estimator at est>=0.5 is coarse; planted pairs are ~0.95+)
+    for (a, b), est in pairs.items():
+        assert exact.get((a, b), 0.0) >= 0.25, (a, b, est)
+
+
+def test_simhash_exact_copies_distance_zero(spark):
+    from crawler_spark.operators.dedup import simhash
+
+    sim = {r.doc_id: r.simhash for r in simhash(_corpus(spark)).collect()}
+    for did, h in sim.items():
+        if did >= 2000000:  # exact copy
+            assert sim[did - 2000000] == h
+
+
+def test_simhash_pigeonhole_completeness(spark):
+    """Chunk-join candidates must include every pair with hamming <= 3."""
+    from crawler_spark.operators.dedup import simhash, simhash_near_pairs
+
+    sim_df = simhash(_corpus(spark))
+    sim = {r.doc_id: r.simhash for r in sim_df.collect()}
+    got = {
+        (r.a_id, r.b_id): r.hamming
+        for r in simhash_near_pairs(sim_df).collect()
+    }
+    ids = sorted(sim)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = bin(sim[a] ^ sim[b]).count("1")
+            if d <= 3:
+                assert got.get((a, b)) == d
+
+
+def test_embedding_near_pairs_finds_planted_vectors(spark):
+    from crawler_spark.plans.analytics_queries import _vcorpus
+    from crawler_spark.operators.dedup import embedding_near_pairs
+
+    pairs = embedding_near_pairs(_vcorpus(spark, SF), min_cosine=0.8).collect()
+    planted_ids = {
+        r.vec_id
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet")
+        .filter(F.col("vec_id") % 25 == 0)
+        .collect()
+    }
+    found = {(r.a_id, r.b_id) for r in pairs}
+    for vid in planted_ids:
+        assert (vid, vid + 1000000) in found
+    # no false positives among natural (unplanted) pairs: max natural cosine
+    # in this testdata is ~0.5
+    for a, b in found:
+        assert b >= 1000000
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def _np_topk(emb: dict[int, np.ndarray], qid: int, k: int) -> list[int]:
+    q = emb[qid]
+    scores = []
+    for vid, v in emb.items():
+        if vid == qid:
+            continue
+        c = float(np.dot(q, v) / (np.linalg.norm(q) * np.linalg.norm(v)))
+        scores.append((-round(c, 4), vid))
+    return [vid for _, vid in sorted(scores)[:k]]
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    from crawler_spark.plans.analytics_queries import _queries_df
+    from crawler_spark.operators.similarity import brute_force_topk
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64) for r in e.collect()
+    }
+    edf = e.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+    )
+    out = brute_force_topk(edf, _queries_df(spark, SF), k=10).collect()
+    by_q: dict[int, list[int]] = {}
+    for r in sorted(out, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append(r.vec_id)
+    for qid, got in by_q.items():
+        assert got == _np_topk(emb, qid, 10)
+
+
+def test_lsh_bucketed_candidates_share_bucket(spark):
+    from crawler_spark.plans.analytics_queries import _LSH_DIMS, _queries_df
+    from crawler_spark.operators.similarity import lsh_bucketed_topk
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    edf = e.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+    )
+    out = lsh_bucketed_topk(edf, _queries_df(spark, SF), k=5).collect()
+    emb = {r.vec_id: r.embedding for r in e.collect()}
+
+    def bucket(v):
+        return sum((1 << i) for i, d in enumerate(_LSH_DIMS) if v[d] >= 0)
+
+    assert out, "LSH returned nothing"
+    for r in out:
+        assert bucket(emb[r.vec_id]) == bucket(emb[r.query_id])
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def test_token_counts_match_python(spark):
+    import re
+
+    from crawler_spark.functions.textstats import BPE_TOKEN_RE
+
+    rows = (
+        _docs(spark)
+        .limit(20)
+        .select("doc_id", "text")
+        .collect()
+    )
+    from crawler_spark.plans.analytics_queries import q_text_tokens
+
+    got = {r.doc_id: r for r in q_text_tokens(spark, SF).collect()}
+    for r in rows:
+        assert got[r.doc_id].ws_tokens == len(r.text.split())
+        assert got[r.doc_id].bpe_tokens == len(re.findall(BPE_TOKEN_RE, r.text))
+
+
+def test_fingerprint_is_min_shingle_md5(spark):
+    from crawler_spark.plans.analytics_queries import q_text_fingerprint
+
+    got = {r.doc_id: r.fingerprint for r in q_text_fingerprint(spark, SF).collect()}
+    for r in _docs(spark).limit(10).collect():
+        w = r.text.split()
+        mins = min(
+            hashlib.md5(" ".join(w[i : i + 4]).encode()).hexdigest()
+            for i in range(len(w) - 3)
+        )
+        assert got[r.doc_id] == mins
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+def test_decode_features_match_bytes(spark):
+    from crawler_spark.operators.multimodal import decode_features, synthesize_images
+
+    imgs = synthesize_images(_docs(spark))
+    feats = {r.image_id: r for r in decode_features(imgs).collect()}
+    for r in imgs.limit(20).collect():
+        arr = np.frombuffer(bytes(r.bytes), dtype=np.uint8)
+        f = feats[r.image_id]
+        assert f.n_bytes == 16
+        assert f.byte_sum == int(arr.sum())
+        assert f.byte_min == int(arr.min())
+        assert f.byte_max == int(arr.max())
+        assert f.mean_millis == int(arr.sum()) * 1000 // 16
+
+
+def test_resize_stub_raises(spark):
+    from crawler_spark.operators.multimodal import resize_images, synthesize_images
+
+    imgs = synthesize_images(_docs(spark).limit(2))
+    with pytest.raises(Exception, match="NotImplementedError|real image codec"):
+        resize_images(imgs).collect()
