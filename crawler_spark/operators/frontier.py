@@ -85,6 +85,7 @@ def salt_hot_hosts(
     hot_threshold: int = 100_000,
     max_salt: int = 16,
     host_col: str = "host",
+    url_col: str = "url",
 ) -> DataFrame:
     """Skew kill (north_rule): hosts whose frontier share exceeds
     ``hot_threshold`` rows get a per-URL salt so one mega-host spreads over
@@ -101,7 +102,7 @@ def salt_hot_hosts(
         F.least(F.ceil(F.col("__host_n") / hot_threshold), F.lit(max_salt)),
     ).otherwise(F.lit(1)).cast("int")
     salted = df.join(F.broadcast(counts.withColumn("__k", k)).drop("__host_n"), host_col)
-    salt = F.pmod(F.xxhash64(F.col("url")), F.col("__k"))
+    salt = F.pmod(F.xxhash64(F.col(url_col)), F.col("__k"))
     bucket = F.pmod(F.xxhash64(F.col(host_col), salt), F.lit(num_buckets)).cast("int")
     return salted.withColumn("host_bucket", bucket).drop("__k")
 

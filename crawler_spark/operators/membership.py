@@ -26,6 +26,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -62,6 +63,54 @@ def in_generation_dedupe(df: DataFrame, key: str = "url_hash") -> DataFrame:
     return df.dropDuplicates([key])
 
 
+def build_bloom(
+    seen: DataFrame,
+    key: str,
+    expected_items: int,
+    fpp: float = 0.01,
+    build_partitions: int = 16,
+) -> "NumpyBloom":
+    """Distributed bloom build over ``seen[key]`` (int64 keys).
+
+    Each of ``build_partitions`` coalesced partitions builds a local bitmap
+    from its Arrow batches (numpy, no per-row Python), ships it as ONE binary
+    row, and the driver ORs them — a tree-reduce-shaped aggregation whose
+    network cost is ``build_partitions × m/8`` bytes, independent of row
+    count.  At 10^10 seen URLs, shard by host_bucket and build one bloom per
+    shard instead of one global bitmap (same code, smaller ``m`` each).
+    """
+    import pyarrow as pa
+
+    bloom = NumpyBloom(expected_items, fpp)
+    m, k = bloom.m, bloom.k
+    nwords = len(bloom.bits)
+
+    def build(batches):
+        local = NumpyBloom.__new__(NumpyBloom)
+        local.m, local.k = m, k
+        local.bits = np.zeros(nwords, dtype=np.uint64)
+        for batch in batches:
+            keys = batch.column(0).to_numpy(zero_copy_only=False)
+            if len(keys):
+                local.add(keys)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([local.bits.tobytes()], type=pa.binary())], names=["bits"]
+        )
+
+    # repartition (not coalesce): coalesce would cap the upstream scan's
+    # parallelism at build_partitions; the shuffle here moves only 8-byte
+    # keys, so full-width compute + narrow exchange wins.
+    parts = (
+        seen.select(F.col(key).cast("long").alias("k"))
+        .repartition(build_partitions)
+        .mapInArrow(build, "bits binary")
+        .collect()
+    )
+    for row in parts:
+        bloom.bits |= np.frombuffer(row.bits, dtype=np.uint64)
+    return bloom
+
+
 def bloom_prefiltered_anti_join(
     candidates: DataFrame,
     seen: DataFrame,
@@ -71,35 +120,42 @@ def bloom_prefiltered_anti_join(
 ) -> DataFrame:
     """Anti-join with a bloom prefilter (the 100-TB fast path).
 
-    Builds a bloom over ``seen[key]`` with Spark's ``bloom_filter_agg``
-    (JVM-side, tree-reduced), broadcasts the bitmap, drops candidates that
-    *might* be seen only if they *are* seen per the exact join. Candidates
-    whose ``might_contain`` is false are definitively new (no false
-    negatives) and skip the join entirely.
-
-    Falls back to the plain exact anti-join if the bloom expressions are
-    unavailable in this Spark build.
+    Builds the bitmap with :func:`build_bloom`, broadcasts it, and probes it
+    map-side with an Arrow-batched pandas UDF.  Candidates whose probe is
+    negative are definitively new (no false negatives) and skip the join
+    shuffle entirely; only the bloom-positive minority (true seen + fpp
+    false positives) pays the exact anti-join that removes false positives.
+    Net effect: the shuffle moves ~|novel|·fpp + |seen∩batch| rows instead
+    of the whole batch.
     """
-    try:
-        n = expected_items or seen.count() or 1
-        bloom_row = seen.select(
-            F.expr(
-                f"bloom_filter_agg(xxhash64({key}), "
-                f"cast({n} as bigint), cast({_num_bits(n, fpp)} as bigint)) as bf"
-            )
-        ).collect()[0]
-        bf = bloom_row["bf"]
-        if bf is None:
-            return exact_anti_join(candidates, seen, key)
-        spark = candidates.sparkSession
-        bf_df = spark.createDataFrame([(bytearray(bf),)], "bf binary")
-        cand = candidates.crossJoin(F.broadcast(bf_df))
-        maybe = cand.filter(F.expr(f"might_contain(bf, xxhash64({key}))")).drop("bf")
-        fresh = cand.filter(~F.expr(f"might_contain(bf, xxhash64({key}))")).drop("bf")
-        survived = exact_anti_join(maybe, seen, key)
-        return fresh.unionByName(survived)
-    except Exception:
-        return exact_anti_join(candidates, seen, key)
+    from pyspark.sql.functions import pandas_udf
+
+    n = expected_items or seen.count() or 1
+    bloom = build_bloom(seen, key, n, fpp)
+    bc = candidates.sparkSession.sparkContext.broadcast(
+        (bloom.m, bloom.k, bloom.bits.tobytes())
+    )
+
+    @pandas_udf("boolean")
+    def might_contain(keys: pd.Series) -> pd.Series:
+        m, k, bits = bc.value
+        b = NumpyBloom.__new__(NumpyBloom)
+        b.m, b.k = m, k
+        b.bits = np.frombuffer(bits, dtype=np.uint64)
+        return pd.Series(b.might_contain(keys.to_numpy(dtype=np.int64)))
+
+    # The two output branches (fresh / maybe) would otherwise recompute the
+    # candidates' whole upstream lineage twice — persist the flagged frame so
+    # the probe and everything above it runs exactly once.
+    from pyspark import StorageLevel
+
+    flagged = candidates.withColumn(
+        "__bloom_maybe", might_contain(F.col(key))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    fresh = flagged.filter(~F.col("__bloom_maybe")).drop("__bloom_maybe")
+    maybe = flagged.filter(F.col("__bloom_maybe")).drop("__bloom_maybe")
+    survived = exact_anti_join(maybe, seen, key)
+    return fresh.unionByName(survived)
 
 
 def _num_bits(n: int, fpp: float) -> int:
