@@ -108,10 +108,10 @@ vcorpus AS (
 
 SHINGLE3_SQL = """
 wordsv AS (
-  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM corpus
+  SELECT doc_id, source, regexp_split_to_array(text, '\\s+') AS w FROM corpus
 ),
 shingles AS (
-  SELECT DISTINCT doc_id,
+  SELECT DISTINCT doc_id, source,
          unnest(list_transform(generate_series(1, len(w) - 2),
                 i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS shingle
   FROM wordsv WHERE len(w) >= 3
@@ -263,7 +263,9 @@ SQL_DEDUP_SIMHASH = _simhash_sql()
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = DD.ngram_jaccard_pairs(_corpus(spark, sf_dir), k=3, min_jaccard=0.6)
+    out = DD.ngram_jaccard_pairs(
+        _corpus(spark, sf_dir), k=3, min_jaccard=0.6, block_col="source"
+    )
     return out.select(
         F.col("a_id").cast("long").alias("a_id"),
         F.col("b_id").cast("long").alias("b_id"),
@@ -278,7 +280,7 @@ sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
   FROM shingles a JOIN shingles b
-    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT CAST(i.a_id AS BIGINT) AS a_id, CAST(i.b_id AS BIGINT) AS b_id,
