@@ -151,8 +151,12 @@ def dequeue_generation(
     f = frontier.withColumn("host_hash", F.xxhash64("host")).withColumn(
         "host_bucket", F.pmod(F.col("host_hash"), F.lit(num_buckets)).cast("int")
     )
+    # seen's payload column is RENAMED: if `seen` derives from `frontier`
+    # (same attribute ids), Spark's cogroup deduplicates identically-named
+    # attributes and the right-side table reaches Python with only the
+    # grouping key — distinct names break the collision.
     s = seen.select(
-        "url_hash",
+        F.col("url_hash").alias("seen_url_hash"),
         F.pmod(F.xxhash64("host"), F.lit(num_buckets)).cast("int").alias(
             "host_bucket"
         ),
@@ -164,7 +168,7 @@ def dequeue_generation(
         keys = left.column("url_hash").to_numpy(zero_copy_only=False)
         hh = left.column("host_hash").to_numpy(zero_copy_only=False)
         seen_arr = (
-            right.column("url_hash").to_numpy(zero_copy_only=False)
+            right.column("seen_url_hash").to_numpy(zero_copy_only=False)
             if right.num_rows
             else None
         )
@@ -254,9 +258,15 @@ def dequeue_keys(
     f = frontier_keys.withColumn(
         "host_bucket", F.pmod(F.col("host_hash"), F.lit(num_buckets)).cast("int")
     ).select("url_hash", "host_hash", "host_bucket")
-    s = seen_keys.withColumn(
-        "host_bucket", F.pmod(F.col("host_hash"), F.lit(num_buckets)).cast("int")
-    ).select("url_hash", "host_bucket")
+    # renamed for the same attribute-dedup reason as dequeue_generation:
+    # a seen side derived from the frontier would otherwise reach Python
+    # with only the grouping key column
+    s = seen_keys.select(
+        F.col("url_hash").alias("seen_url_hash"),
+        F.pmod(F.col("host_hash"), F.lit(num_buckets)).cast("int").alias(
+            "host_bucket"
+        ),
+    )
 
     def fn(left: pa.Table, right: pa.Table) -> pa.Table:
         if left.num_rows == 0:
@@ -271,7 +281,7 @@ def dequeue_keys(
         keys = left.column("url_hash").to_numpy(zero_copy_only=False)
         hh = left.column("host_hash").to_numpy(zero_copy_only=False)
         seen_arr = (
-            right.column("url_hash").to_numpy(zero_copy_only=False)
+            right.column("seen_url_hash").to_numpy(zero_copy_only=False)
             if right.num_rows
             else None
         )
