@@ -171,6 +171,9 @@ def run_queries(spark: SparkSession) -> dict[str, float]:
 
     qs = E.queries()
     out: dict[str, float] = {}
+    # warm the session (JIT, parquet footer cache, python workers) so the
+    # first recorded query isn't charged the one-time costs
+    next(iter(qs.values()))(spark, SF_DIR).count()
     for name in BENCH_QUERIES:
         if name not in qs:
             continue
