@@ -617,6 +617,46 @@ FROM imgs
 SQL_MM_DECODE_FEATURES = _decode_features_sql()
 
 
+def q_mm_av_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio/video as opaque binary + typed metadata (the multimodal column
+    contract beyond images): payload bytes and duration derived
+    deterministically from events; per-kind rollup of count/bytes/duration.
+    The decode stages stay stubbed (operators.multimodal.sample_frames)."""
+    e = _t(spark, sf_dir, "events")
+    h1 = F.expr(
+        "instr('0123456789abcdef', substring(md5(cast(event_id as string)), 1, 1)) - 1"
+    )
+    media = e.select(
+        F.when(F.col("event_id") % 2 == 0, F.lit("audio"))
+        .otherwise(F.lit("video"))
+        .alias("kind"),
+        ((h1 + 1) * 500).cast("long").alias("duration_ms"),
+        F.unhex(F.md5("props")).alias("bytes"),
+    )
+    return media.groupBy("kind").agg(
+        F.count("*").cast("long").alias("n_media"),
+        F.sum(F.length("bytes")).cast("long").alias("total_bytes"),
+        F.sum("duration_ms").cast("long").alias("total_duration_ms"),
+        F.max("duration_ms").cast("long").alias("max_duration_ms"),
+    )
+
+
+SQL_MM_AV_METADATA = """
+WITH media AS (
+  SELECT CASE WHEN event_id % 2 = 0 THEN 'audio' ELSE 'video' END AS kind,
+         CAST((strpos('0123456789abcdef',
+                      substr(md5(CAST(event_id AS VARCHAR)), 1, 1)) - 1 + 1)
+              * 500 AS BIGINT) AS duration_ms,
+         unhex(md5(props)) AS bytes
+  FROM events)
+SELECT kind, CAST(count(*) AS BIGINT) AS n_media,
+       CAST(sum(octet_length(bytes)) AS BIGINT) AS total_bytes,
+       CAST(sum(duration_ms) AS BIGINT) AS total_duration_ms,
+       CAST(max(duration_ms) AS BIGINT) AS max_duration_ms
+FROM media GROUP BY kind
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -635,4 +675,5 @@ ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "mm_image_metadata": (q_mm_image_metadata, SQL_MM_IMAGE_METADATA),
     "mm_decode_features": (q_mm_decode_features, SQL_MM_DECODE_FEATURES),
+    "mm_av_metadata": (q_mm_av_metadata, SQL_MM_AV_METADATA),
 }

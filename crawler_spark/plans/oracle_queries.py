@@ -758,6 +758,124 @@ FROM documents
 """
 
 
+def q_s12_state_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 — seen-set recovery at job start (hub GetProblemlist,
+    main.go:132-153 / InitPList tools.go:405-414): per-judge summary of the
+    recovered checkpoint; a judge absent from the seen table is a first
+    crawl (empty list, not an error — main.go:134-139)."""
+    listing_judges = _listing(spark, sf_dir).select("judge").distinct()
+    seen = _seen(spark, sf_dir)
+    per = seen.groupBy("judge").agg(
+        F.count("*").alias("n_seen"),
+        F.sum((F.col("title") == "CHANGED").cast("long")).alias("n_changed"),
+    )
+    return (
+        listing_judges.join(per, "judge", "left")
+        .select(
+            "judge",
+            F.coalesce("n_seen", F.lit(0)).cast("long").alias("n_seen"),
+            F.coalesce("n_changed", F.lit(0)).cast("long").alias("n_changed"),
+        )
+    )
+
+
+SQL_S12_STATE_RECOVERY = f"""
+WITH listing AS ({LISTING_SQL}), seen AS ({SEEN_SQL}),
+per AS (
+  SELECT judge, count(*) AS n_seen,
+         sum(CASE WHEN title = 'CHANGED' THEN 1 ELSE 0 END) AS n_changed
+  FROM seen GROUP BY judge)
+SELECT j.judge, CAST(coalesce(p.n_seen, 0) AS BIGINT) AS n_seen,
+       CAST(coalesce(p.n_changed, 0) AS BIGINT) AS n_changed
+FROM (SELECT DISTINCT judge FROM listing) j LEFT JOIN per p ON j.judge = p.judge
+"""
+
+
+def q_w1_listing_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 — WriteProblemList (tools.go:286-293): the per-judge listing
+    snapshot as one row per judge (sorted pid:title entries — the
+    problemlist.json content, order-normalized)."""
+    return (
+        _listing(spark, sf_dir)
+        .select("judge", F.concat_ws(":", "pid", "title").alias("entry"))
+        .groupBy("judge")
+        .agg(F.sort_array(F.collect_list("entry")).alias("entries"),
+             F.count("*").cast("long").alias("n"))
+    )
+
+
+SQL_W1_LISTING_SNAPSHOT = f"""
+WITH listing AS ({LISTING_SQL})
+SELECT judge, list_sort(list(pid || ':' || title)) AS entries,
+       CAST(count(*) AS BIGINT) AS n
+FROM listing GROUP BY judge
+"""
+
+
+def q_c3_failure_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 — per-row failure isolation (tools.go:357-366): a failed fetch
+    becomes a status row, never a job failure; every listing row survives
+    with ok|error.  Deterministic simulated statuses over doc URLs;
+    aggregate per judge: totals conserved, attempts ≤ 3 (C2)."""
+    d = _doc_urls(spark, sf_dir).withColumn(
+        "h", F.expr("instr('0123456789abcdef', substring(md5(url), 1, 1)) - 1")
+    )
+    rows = d.select(
+        F.regexp_extract("url", r"^http://([^.]+)\.", 1).alias("judge"),
+        F.when(F.col("h") < 4, F.lit("error")).otherwise(F.lit("ok")).alias(
+            "status"
+        ),
+        (F.col("h") % 3 + 1).cast("int").alias("attempts"),
+    )
+    return rows.groupBy("judge").agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum((F.col("status") == "ok").cast("long")).alias("n_ok"),
+        F.sum((F.col("status") == "error").cast("long")).alias("n_error"),
+        F.max("attempts").cast("int").alias("max_attempts"),
+    )
+
+
+SQL_C3_FAILURE_ISOLATION = f"""
+WITH urls AS ({DOC_URLS_SQL}),
+rows_ AS (
+  SELECT regexp_extract(url, '^http://([^.]+)\\.', 1) AS judge,
+         CASE WHEN strpos('0123456789abcdef', substr(md5(url), 1, 1)) - 1 < 4
+              THEN 'error' ELSE 'ok' END AS status,
+         CAST((strpos('0123456789abcdef', substr(md5(url), 1, 1)) - 1) % 3 + 1
+              AS INTEGER) AS attempts
+  FROM urls)
+SELECT judge, CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN status = 'ok' THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+       CAST(sum(CASE WHEN status = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(max(attempts) AS INTEGER) AS max_attempts
+FROM rows_ GROUP BY judge
+"""
+
+
+def q_c7_multi_tenant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 — sequential multi-tenant run (joyoi.go:214-223 runs two judges in
+    one process): all judges are partition values of ONE frontier; the
+    generation query serves every tenant in a single plan, per-judge budgets
+    independent."""
+    gen = FR.select_generation(
+        _listing(spark, sf_dir), _seen(spark, sf_dir), limit=10, seed="r1"
+    )
+    return gen.groupBy("judge").agg(
+        F.count("*").cast("long").alias("n_selected"),
+        F.sum(F.col("is_due").cast("long")).alias("n_due"),
+        F.max("crawl_seq").cast("int").alias("deepest_seq"),
+    )
+
+
+SQL_C7_MULTI_TENANT = f"""
+WITH gen AS ({SQL_FRONTIER_GENERATION})
+SELECT judge, CAST(count(*) AS BIGINT) AS n_selected,
+       CAST(sum(is_due) AS BIGINT) AS n_due,
+       CAST(max(crawl_seq) AS INTEGER) AS deepest_seq
+FROM gen GROUP BY judge
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -787,4 +905,8 @@ CRAWL_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "w3_write_files_skip": (q_w3_write_files_skip, SQL_W3_WRITE_FILES_SKIP),
     "c1_politeness_gaps": (q_c1_politeness_gaps, SQL_C1_POLITENESS_GAPS),
     "c2_retry_budget": (q_c2_retry_budget, SQL_C2_RETRY_BUDGET),
+    "s12_state_recovery": (q_s12_state_recovery, SQL_S12_STATE_RECOVERY),
+    "w1_listing_snapshot": (q_w1_listing_snapshot, SQL_W1_LISTING_SNAPSHOT),
+    "c3_failure_isolation": (q_c3_failure_isolation, SQL_C3_FAILURE_ISOLATION),
+    "c7_multi_tenant": (q_c7_multi_tenant, SQL_C7_MULTI_TENANT),
 }

@@ -1,0 +1,122 @@
+"""Property-based tests (hypothesis): the invariants that must hold for ANY
+input, not just the fixtures — canonicalizer parity between the JVM column
+path and the Arrow kernel path, bloom no-false-negatives, cuckoo
+insert/delete consistency."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# -- URL strategy: well-formed URLs with hostile-ish parts -------------------
+
+_scheme = st.sampled_from(["http", "https", "HTTP", "ftp", "File"])
+_label = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-",
+    min_size=1,
+    max_size=8,
+).filter(lambda s: not s.startswith("-") and not s.endswith("-"))
+_host = st.lists(_label, min_size=1, max_size=3).map(".".join)
+_port = st.sampled_from(["", ":80", ":443", ":8080", ":1"])
+_path = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789/._-~%", max_size=20
+)
+_query = st.sampled_from(["", "?a=1", "?a=1&b=2", "?x"])
+_frag = st.sampled_from(["", "#f", "#a/b?c"])
+
+
+@st.composite
+def urls(draw):
+    return (
+        draw(_scheme)
+        + "://"
+        + draw(_host)
+        + draw(_port)
+        + "/" * draw(st.integers(0, 1))
+        + draw(_path)
+        + draw(_query)
+        + draw(_frag)
+    )
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(urls(), min_size=1, max_size=30))
+def test_canonicalize_arrow_matches_jvm(spark, batch):
+    """The pyarrow-kernel canonicalizer and the Catalyst column expression
+    must agree on every well-formed URL."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.functions.urls import canonicalize
+    from crawler_spark.operators.arrow_frontier import canonicalize_arrays
+
+    arrow_out = canonicalize_arrays(pa.array(batch))[0].to_pylist()
+    df = spark.createDataFrame([(u,) for u in batch], "url string")
+    jvm_out = [
+        r.c for r in df.select(canonicalize(F.col("url")).alias("c")).collect()
+    ]
+    assert arrow_out == jvm_out
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(-(2**62), 2**62), min_size=1, max_size=500),
+    st.lists(st.integers(-(2**62), 2**62), max_size=200),
+)
+def test_bloom_never_false_negative(members, probes):
+    from crawler_spark.operators.membership import NumpyBloom
+
+    b = NumpyBloom(len(members), fpp=0.01)
+    arr = np.array(members, dtype=np.int64)
+    b.add(arr)
+    assert bool(b.might_contain(arr).all())  # no false negatives, ever
+    hits = b.might_contain(np.array(probes or [0], dtype=np.int64))
+    member_set = set(members)
+    for p, hit in zip(probes or [0], hits):
+        if p in member_set:
+            assert hit
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.sets(st.integers(-(2**62), 2**62), min_size=1, max_size=200))
+def test_cuckoo_insert_contains_delete(keys):
+    from crawler_spark.operators.membership import NumpyCuckoo
+
+    c = NumpyCuckoo(max(len(keys) * 2, 16))
+    inserted = [k for k in keys if c.insert(k)]
+    for k in inserted:
+        assert c.contains(k)  # no false negatives while present
+    for k in inserted:
+        assert c.delete(k)
+    # after delete of everything, a re-insert must succeed again
+    k0 = next(iter(keys))
+    assert c.insert(k0) and c.contains(k0)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(st.integers(0, 10**6), min_size=1, max_size=300),
+    st.integers(1, 20),
+)
+def test_dequeue_numpy_budget_and_membership(frontier_keys, budget):
+    """The shared numpy dequeue core: output ∩ seen = ∅, per-host counts ≤
+    budget, output ⊆ deduped input."""
+    from crawler_spark.operators.arrow_frontier import _dequeue_numpy
+
+    keys = np.array(frontier_keys, dtype=np.int64)
+    hosts = keys % 7  # 7 synthetic hosts
+    seen = keys[::2][: len(keys) // 3]
+    sel, rank0 = _dequeue_numpy(keys, hosts, seen, budget, fpp=0.01)
+    out_keys = keys[sel]
+    assert not (set(out_keys.tolist()) & set(seen.tolist()))
+    assert len(set(out_keys.tolist())) == len(out_keys)  # deduped
+    counts: dict[int, int] = {}
+    for h in hosts[sel]:
+        counts[h] = counts.get(h, 0) + 1
+    assert all(v <= budget for v in counts.values())
+    assert (rank0 < budget).all()
