@@ -183,7 +183,7 @@ def run_queries(spark: SparkSession) -> dict[str, float]:
     return out
 
 
-def _frontier_subprocess(cores: int, n_urls: int) -> dict:
+def _frontier_subprocess(cores: int, n_urls: int, repeats: int = 3) -> dict:
     """Run one parallelism level in a FRESH process.
 
     py4j keeps the JVM alive across SparkSession.stop(), so a second session
@@ -195,7 +195,14 @@ def _frontier_subprocess(cores: int, n_urls: int) -> dict:
     import subprocess
 
     out = subprocess.run(
-        [sys.executable, __file__, "--frontier", str(cores), str(n_urls)],
+        [
+            sys.executable,
+            __file__,
+            "--frontier",
+            str(cores),
+            str(n_urls),
+            str(repeats),
+        ],
         capture_output=True,
         text=True,
         check=True,
@@ -218,18 +225,29 @@ def _frontier_main(cores: int, n_urls: int, repeats: int = 3) -> None:
 def main() -> None:
     t_start = time.time()
 
-    # Three parallelism levels, each best-of-3 in a fresh subprocess (fresh
-    # JVM per level; repeats absorb this sandbox's hypervisor-steal noise).
-    # The N-vs-4N criterion is evidenced by BOTH adjacent 4x pairs:
+    # Three parallelism levels, each in fresh subprocesses (fresh JVM per
+    # level).  This sandbox shows minutes-long hypervisor-steal windows, so
+    # a single sequential sweep can land one level entirely inside a slow
+    # window: run TWO interleaved passes (2,8,32,2,8,32) and keep each
+    # level's best — steal then has to hit the same level twice to bias the
+    # ratio.  The N-vs-4N criterion is evidenced by BOTH adjacent 4x pairs:
     # 2→8 sits inside the VM's honestly-usable CPU capacity; 8→32 exceeds
-    # it (the box shows steal/bandwidth saturation beyond ~8-10 concurrent
-    # workers), so both are reported rather than cherry-picking one.
+    # it (Arrow IPC through one local JVM saturates beyond ~8-10 workers),
+    # so both are reported rather than cherry-picking one.
     levels = sorted({max(CPUS // 16, 2), max(CPUS // 4, 4), CPUS})
     scaling: dict = {}
     results: dict[int, dict] = {}
     run_levels = levels if DO_SCALING else [CPUS]
-    for cores in run_levels:
-        results[cores] = _frontier_subprocess(cores, N_URLS)
+    passes = 2 if DO_SCALING else 1
+    walls: dict[int, list] = {}
+    for _ in range(passes):
+        for cores in run_levels:
+            r = _frontier_subprocess(cores, N_URLS, repeats=2)
+            walls.setdefault(cores, []).extend(r.pop("all_walls_s"))
+            if cores not in results or r["urls_per_s"] > results[cores]["urls_per_s"]:
+                results[cores] = r
+    for cores, r in results.items():
+        r["all_walls_s"] = walls[cores]
     scaling["levels"] = {str(c): results[c] for c in run_levels}
     if DO_SCALING:
         for a, b in zip(levels, levels[1:]):
@@ -267,6 +285,7 @@ def main() -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) >= 4 and sys.argv[1] == "--frontier":
-        _frontier_main(int(sys.argv[2]), int(sys.argv[3]))
+        reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+        _frontier_main(int(sys.argv[2]), int(sys.argv[3]), reps)
     else:
         main()
