@@ -89,49 +89,124 @@ def decode_features(images: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# real-codec stubs (media libs not installed in this container)
+# real decode / resize / frame-sample stages, backed by the internal codecs
+# (crawler_spark.sources.codecs: real PNG, deterministic lossy LJPG).
+# External libs (PIL / ffmpeg) are NOT in this container — codecs.py already
+# falls back to PIL when present, so these stages ARE the production shape;
+# only exotic formats raise.
 # ---------------------------------------------------------------------------
 
-RESIZE_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string"
+RESIZE_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, status string"
+)
+
+
+def _nn_resize(rgb, max_side: int):
+    """Nearest-neighbor thumbnail to max_side, aspect preserved (numpy)."""
+    h, w, _ = rgb.shape
+    scale = max(h, w) / max_side
+    if scale <= 1:
+        return rgb
+    nh, nw = max(int(round(h / scale)), 1), max(int(round(w / scale)), 1)
+    yi = (np.arange(nh) * (h / nh)).astype(np.int64).clip(0, h - 1)
+    xi = (np.arange(nw) * (w / nw)).astype(np.int64).clip(0, w - 1)
+    return rgb[yi][:, xi]
 
 
 def resize_images(images: DataFrame, max_side: int = 256) -> DataFrame:
-    """Resize stage: real mapInPandas plumbing, stubbed codec.
-
-    With PIL present this decodes, thumbnails to ``max_side`` and re-encodes;
-    here the codec call raises so the stage fails loudly rather than lying.
-    The internal PNG codec (crawler_spark.sources.codecs) covers the tested
-    crawl-side path; this stub marks where a production codec plugs in.
-    """
+    """Resize stage: decode → nearest-neighbor thumbnail → re-encode, per
+    Arrow batch.  Per-row failure isolation (C3): a row that fails to decode
+    keeps its id with status='error' and null bytes — never a task failure."""
+    from crawler_spark.sources import codecs
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            from PIL import Image  # noqa: F401
-        except ImportError as exc:  # pragma: no cover - container has no PIL
-            raise NotImplementedError(
-                "resize_images requires a real image codec (PIL/libvips); "
-                "not available in this environment"
-            ) from exc
-        raise NotImplementedError("real resize path not wired in-sandbox")
+        for pdf in batches:
+            out = {"image_id": [], "bytes": [], "w": [], "h": [],
+                   "fmt": [], "status": []}
+            for row in pdf.itertuples():
+                try:
+                    rgb = codecs.decode_image(bytes(row.bytes), row.fmt)
+                    small = _nn_resize(rgb, max_side)
+                    enc = (
+                        codecs.encode_png(small)
+                        if row.fmt == "png"
+                        else codecs.encode_jpeg(small)
+                    )
+                    out["bytes"].append(enc)
+                    out["h"].append(small.shape[0])
+                    out["w"].append(small.shape[1])
+                    out["status"].append("ok")
+                except Exception:
+                    out["bytes"].append(None)
+                    out["h"].append(None)
+                    out["w"].append(None)
+                    out["status"].append("error")
+                out["image_id"].append(row.image_id)
+                out["fmt"].append(row.fmt)
+            yield pd.DataFrame(out)
 
     return images.select(
         "image_id", "bytes", "w", "h", "fmt"
     ).mapInPandas(run, RESIZE_SCHEMA)
 
 
+# video container for the frame pipeline: "VID0" + u32 n + n×(u32 len ‖ PNG)
+_VID_MAGIC = b"VID0"
+
+
+def encode_video(frames: list) -> bytes:
+    """Pack RGB frames into the internal container (PNG per frame)."""
+    import struct
+
+    from crawler_spark.sources import codecs
+
+    blobs = [codecs.encode_png(f) for f in frames]
+    out = [_VID_MAGIC, struct.pack(">I", len(blobs))]
+    for b in blobs:
+        out.append(struct.pack(">I", len(b)))
+        out.append(b)
+    return b"".join(out)
+
+
+def iter_frames(data: bytes):
+    """Yield (frame_idx, png_bytes) from the internal container."""
+    import struct
+
+    assert data[:4] == _VID_MAGIC, "unknown video container"
+    (n,) = struct.unpack(">I", data[4:8])
+    pos = 8
+    for i in range(n):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        yield i, data[pos + 4 : pos + 4 + ln]
+        pos += 4 + ln
+
+
 FRAME_SCHEMA = "video_id string, frame_idx int, bytes binary"
 
 
 def sample_frames(videos: DataFrame, every_n: int = 30) -> DataFrame:
-    """Video frame-sampling stage (stub): one row per sampled frame.
-
-    Schema/explode shape is the real contract; the decoder (ffmpeg) is not
-    available in-container so the UDF raises.
-    """
+    """Video frame sampling: one output row per kept frame (idx % every_n
+    == 0).  Real container parsing per Arrow batch; a real deployment swaps
+    ``iter_frames`` for ffmpeg bindings behind the same row contract.
+    Videos that fail to parse are skipped (failure isolation), surfacing in
+    the row-count delta rather than a task failure."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "sample_frames requires ffmpeg bindings; not available in-sandbox"
-        )
+        for pdf in batches:
+            out = {"video_id": [], "frame_idx": [], "bytes": []}
+            for row in pdf.itertuples():
+                try:
+                    for idx, png in iter_frames(bytes(row.bytes)):
+                        if idx % every_n == 0:
+                            out["video_id"].append(row.video_id)
+                            out["frame_idx"].append(idx)
+                            out["bytes"].append(png)
+                except Exception:
+                    continue
+            yield pd.DataFrame(out) if out["video_id"] else pd.DataFrame(
+                {"video_id": pd.Series([], dtype="object"),
+                 "frame_idx": pd.Series([], dtype="int32"),
+                 "bytes": pd.Series([], dtype="object")}
+            )
 
-    return videos.mapInPandas(run, FRAME_SCHEMA)
+    return videos.select("video_id", "bytes").mapInPandas(run, FRAME_SCHEMA)

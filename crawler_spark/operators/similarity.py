@@ -66,6 +66,67 @@ def sign_lsh_bucket(col: str, dims: list[int]) -> F.Column:
     return F.expr(acc)
 
 
+def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest centroid
+    by cosine (ties → lowest centroid_id).
+
+    ``centroids``: (centroid_id, c_embedding) — small, broadcast.  At scale
+    the assignment is a one-off build step and ``cell`` becomes the vector
+    table's partition column, so a probe reads one partition.
+    """
+    scored = emb.crossJoin(F.broadcast(centroids))
+    cos = F.round(cosine_expr("embedding", "c_embedding"), 6)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("__c").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.select("vec_id", "embedding", "centroid_id", cos.alias("__c"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "embedding", F.col("centroid_id").alias("cell"))
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """IVF ANN: probe only the query's nearest centroid cell (nprobe=1).
+
+    Corpus and queries are assigned with the SAME quantizer; the candidate
+    join is on ``cell``, so the scan per query is |N|/|cells| — on a
+    cell-partitioned table it is partition-pruned I/O, not just less
+    compute.  Exact cosine re-rank inside the cell.
+    """
+    e = ivf_assign(emb, centroids)
+    q = ivf_assign(
+        queries.select(
+            F.col("query_id").alias("vec_id"),
+            F.col("q_embedding").alias("embedding"),
+        ),
+        centroids,
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        "cell",
+    )
+    cand = e.join(F.broadcast(q), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = F.round(cosine_expr("embedding", "q_embedding"), 4)
+    scored = cand.select("query_id", "vec_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 def lsh_bucketed_topk(
     emb: DataFrame,
     queries: DataFrame,

@@ -428,6 +428,58 @@ FROM ranked WHERE rank <= 5
 # ---------------------------------------------------------------------------
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+    )
+    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("c_embedding"),
+    )
+    out = SIM.ivf_topk(emb, _queries_df(spark, sf_dir), centroids, k=5)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cosine").cast("double").alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+SQL_ANN_IVF = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT e.vec_id, e.v, cent.cid,
+         round(list_dot_product(e.v, cent.c) /
+               (sqrt(list_dot_product(e.v, e.v)) *
+                sqrt(list_dot_product(cent.c, cent.c))), 6) AS cc
+  FROM e CROSS JOIN cent),
+assign AS (
+  SELECT vec_id, v, cid AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cc DESC, cid ASC) AS rn
+    FROM scored) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv, cell FROM assign WHERE vec_id < 8),
+cand AS (
+  SELECT q.query_id, a.vec_id,
+         round(list_dot_product(a.v, q.qv) /
+               (sqrt(list_dot_product(a.v, a.v)) *
+                sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+  FROM assign a JOIN q ON a.cell = q.cell WHERE a.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM cand)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(cosine AS DOUBLE) AS cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", "lang", *TS.lang_scores("text")
@@ -669,6 +721,7 @@ ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING),
     "ann_bruteforce_topk": (q_ann_bruteforce, SQL_ANN_BRUTEFORCE),
     "ann_lsh_bucketed": (q_ann_lsh, SQL_ANN_LSH),
+    "ann_ivf_topk": (q_ann_ivf, SQL_ANN_IVF),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),

@@ -12,7 +12,6 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
-import pytest
 from pyspark.sql import functions as F
 
 SF = "/root/testdata/sf0.001"
@@ -237,9 +236,67 @@ def test_decode_features_match_bytes(spark):
         assert f.mean_millis == int(arr.sum()) * 1000 // 16
 
 
-def test_resize_stub_raises(spark):
-    from crawler_spark.operators.multimodal import resize_images, synthesize_images
+def _rgb(seed: int, h: int = 48, w: int = 64) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
 
-    imgs = synthesize_images(_docs(spark).limit(2))
-    with pytest.raises(Exception, match="NotImplementedError|real image codec"):
-        resize_images(imgs).collect()
+
+def test_resize_real_roundtrip(spark):
+    from crawler_spark.operators.multimodal import _nn_resize, resize_images
+    from crawler_spark.sources import codecs
+
+    srcs = {f"img-{i}": _rgb(i) for i in range(6)}
+    rows = [
+        (k, bytearray(codecs.encode_png(v)), v.shape[1], v.shape[0], "png")
+        for k, v in srcs.items()
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    out = {r.image_id: r for r in resize_images(df, max_side=16).collect()}
+    assert len(out) == 6
+    for k, src in srcs.items():
+        r = out[k]
+        assert r.status == "ok"
+        got = codecs.decode_png(bytes(r.bytes))
+        want = _nn_resize(src, 16)
+        assert got.shape == want.shape == (r.h, r.w, 3)
+        assert (got == want).all()
+        assert max(r.h, r.w) <= 16
+
+
+def test_resize_failure_isolation(spark):
+    from crawler_spark.operators.multimodal import resize_images
+    from crawler_spark.sources import codecs
+
+    good = codecs.encode_png(_rgb(1))
+    rows = [
+        ("ok-img", bytearray(good), 64, 48, "png"),
+        ("bad-img", bytearray(b"not an image"), 0, 0, "png"),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    out = {r.image_id: r for r in resize_images(df, max_side=16).collect()}
+    assert out["ok-img"].status == "ok"
+    assert out["bad-img"].status == "error" and out["bad-img"].bytes is None
+
+
+def test_sample_frames_every_nth(spark):
+    from crawler_spark.operators.multimodal import (
+        encode_video,
+        sample_frames,
+    )
+    from crawler_spark.sources import codecs
+
+    frames = [_rgb(100 + i, h=8, w=8) for i in range(10)]
+    vid = encode_video(frames)
+    df = spark.createDataFrame(
+        [("vid-0", bytearray(vid)), ("vid-bad", bytearray(b"junk"))],
+        "video_id string, bytes binary",
+    )
+    out = sample_frames(df, every_n=3).collect()
+    got = {(r.video_id, r.frame_idx) for r in out}
+    assert got == {("vid-0", 0), ("vid-0", 3), ("vid-0", 6), ("vid-0", 9)}
+    for r in out:
+        assert (codecs.decode_png(bytes(r.bytes)) == frames[r.frame_idx]).all()
