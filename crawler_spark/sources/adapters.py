@@ -1,0 +1,423 @@
+"""Per-judge source adapters — SURVEY §1.3 / §2.8.
+
+The reference's plugin API is its UDF surface: each judge contributes a
+listing reader and a problem normalizer against fixed response shapes.  Here
+each adapter is (a) an explicit ``StructType`` for the site's JSON wire
+format, (b) pure-column parse/normalize functions producing the engine's
+canonical problem columns, byte-identical to the Go normalizers:
+
+- SYZOJ export JSON  — /root/reference/plugin/syzoj/main.go:16-32 (shape),
+  149-219 (normalize: 5-section Chinese template, judge-type switch +
+  'Special Judge' tag scan, time ms / memory MB as-is).
+- Lutece GraphQL     — plugin/lutece/lutece.go:44-78 (shapes), 176-231
+  (normalize: 7-section English template + HTML sample table,
+  limitation.timeLimit/memoryLimit).
+- JoyOI REST         — plugin/joyoi/joyoi.go:30-66 (shapes), 134-170
+  (normalize: body passthrough + markdown guard (T10), sample-table append,
+  memory bytes → MB, html_final for non-Local sources).
+
+All parsing is ``from_json`` with these schemas + column expressions — no
+UDFs; a new judge = a new entry in ``ADAPTERS``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# wire schemas (from_json StructTypes)
+# ---------------------------------------------------------------------------
+
+SYZOJ_EXPORT_SCHEMA = T.StructType(
+    [
+        T.StructField("success", T.BooleanType()),
+        T.StructField(
+            "obj",
+            T.StructType(
+                [
+                    T.StructField("title", T.StringType()),
+                    T.StructField("description", T.StringType()),
+                    T.StructField("input_format", T.StringType()),
+                    T.StructField("output_format", T.StringType()),
+                    T.StructField("example", T.StringType()),
+                    T.StructField("limit_and_hint", T.StringType()),
+                    T.StructField("time_limit", T.IntegerType()),
+                    T.StructField("memory_limit", T.IntegerType()),
+                    T.StructField("have_additional_file", T.BooleanType()),
+                    T.StructField("file_io", T.BooleanType()),
+                    T.StructField("type", T.StringType()),
+                    T.StructField("tags", T.ArrayType(T.StringType())),
+                ]
+            ),
+        ),
+    ]
+)
+
+_LUTECE_SAMPLE = T.StructType(
+    [
+        T.StructField("inputContent", T.StringType()),
+        T.StructField("outputContent", T.StringType()),
+    ]
+)
+
+LUTECE_LIST_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "data",
+            T.StructType(
+                [
+                    T.StructField(
+                        "problemList",
+                        T.StructType(
+                            [
+                                T.StructField("maxPage", T.IntegerType()),
+                                T.StructField(
+                                    "problemList",
+                                    T.ArrayType(
+                                        T.StructType(
+                                            [
+                                                T.StructField("title", T.StringType()),
+                                                T.StructField("slug", T.StringType()),
+                                            ]
+                                        )
+                                    ),
+                                ),
+                            ]
+                        ),
+                    )
+                ]
+            ),
+        )
+    ]
+)
+
+LUTECE_PROBLEM_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "data",
+            T.StructType(
+                [
+                    T.StructField(
+                        "problem",
+                        T.StructType(
+                            [
+                                T.StructField("title", T.StringType()),
+                                T.StructField("content", T.StringType()),
+                                T.StructField("standardInput", T.StringType()),
+                                T.StructField("standardOutput", T.StringType()),
+                                T.StructField("constraints", T.StringType()),
+                                T.StructField("note", T.StringType()),
+                                T.StructField(
+                                    "limitation",
+                                    T.StructType(
+                                        [
+                                            T.StructField("timeLimit", T.IntegerType()),
+                                            T.StructField(
+                                                "memoryLimit", T.IntegerType()
+                                            ),
+                                        ]
+                                    ),
+                                ),
+                                T.StructField(
+                                    "samples",
+                                    T.StructType(
+                                        [
+                                            T.StructField(
+                                                "sampleList",
+                                                T.ArrayType(_LUTECE_SAMPLE),
+                                            )
+                                        ]
+                                    ),
+                                ),
+                                T.StructField("source", T.StringType()),
+                            ]
+                        ),
+                    )
+                ]
+            ),
+        )
+    ]
+)
+
+JOYOI_LIST_SCHEMA = T.StructType(
+    [
+        T.StructField("code", T.IntegerType()),
+        T.StructField("msg", T.StringType()),
+        T.StructField(
+            "data",
+            T.StructType(
+                [
+                    T.StructField(
+                        "result",
+                        T.ArrayType(
+                            T.StructType(
+                                [
+                                    T.StructField("id", T.StringType()),
+                                    T.StructField("title", T.StringType()),
+                                    T.StructField("tags", T.StringType()),
+                                    T.StructField("isVisible", T.BooleanType()),
+                                    T.StructField("source", T.StringType()),
+                                ]
+                            )
+                        ),
+                    ),
+                    T.StructField("count", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+JOYOI_PROBLEM_SCHEMA = T.StructType(
+    [
+        T.StructField("code", T.IntegerType()),
+        T.StructField("msg", T.StringType()),
+        T.StructField(
+            "data",
+            T.StructType(
+                [
+                    T.StructField("id", T.StringType()),
+                    T.StructField("title", T.StringType()),
+                    T.StructField("body", T.StringType()),
+                    T.StructField("tags", T.StringType()),
+                    T.StructField("isVisible", T.BooleanType()),
+                    T.StructField("source", T.StringType()),
+                    T.StructField("timeLimitationPerCaseInMs", T.IntegerType()),
+                    T.StructField("memoryLimitationPerCaseInByte", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+JOYOI_SAMPLES_SCHEMA = T.StructType(
+    [
+        T.StructField("code", T.IntegerType()),
+        T.StructField("msg", T.StringType()),
+        T.StructField(
+            "data",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("input", T.StringType()),
+                        T.StructField("output", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+# HTML sample-table literals, transcribed exactly from the Go raw strings
+# (lutece.go:188-196 / joyoi.go:150-160 — including the trailing spaces and
+# tab indentation inside the raw literals).
+_STYLE = (
+    "<style>\n"
+    "        table,table tr th, table tr td { border:1px solid #0094ff; }\n"
+    "        table { width: 200px; min-height: 25px; line-height: 25px; "
+    "text-align: center; border-collapse: collapse;}   \n"
+    "    </style>\n"
+)
+
+LUTECE_TABLE_HEAD = (
+    _STYLE + "<table>\n\t<tr>\n\t\t<td>Input</td>\n\t\t<td>Output</td>\n\t</tr>\n"
+)
+JOYOI_TABLE_HEAD = (
+    "# 样例数据\n"
+    + _STYLE
+    + "<table>\n\t<tr>\n\t\t<td>输入样例</td>\n\t\t<td>输出样例</td>\n\t</tr>\n"
+)
+
+# section templates, exactly the Go fmt.Sprintf raw literals
+SYZOJ_TEMPLATE = (
+    "\n# 题目描述\n\n%s\n\n# 输入格式\n\n%s\n\n# 输出格式\n\n%s\n\n"
+    "# 样例\n\n%s\n\n# 数据范围与提示\n\n%s\n\n"
+)
+LUTECE_TEMPLATE = (
+    "\n# Content\n\n%s\n\n# Standard Input\n\n%s\n\n# Standard Output\n\n%s\n\n"
+    "# Samples\n\n%s\n\n# Constraints\n\n%s\n\n# Note\n\n%s\n\n# Source\n\n%s\n"
+)
+
+
+def _sample_rows(list_col: str, in_field: str, out_field: str) -> Column:
+    """Concatenate '<tr><td>in</td><td>out</td></tr>' per sample (no
+    separators — matches the Go += loop)."""
+    return F.expr(
+        f"aggregate({list_col}, '', (acc, s) -> concat(acc, '<tr><td>', "
+        f"coalesce(s.{in_field}, ''), '</td><td>', coalesce(s.{out_field}, ''), "
+        f"'</td></tr>'))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# adapters
+# ---------------------------------------------------------------------------
+
+
+def parse_syzoj_problem(
+    df: DataFrame, body_col: str = "body", pid_col: str = "pid",
+    home_url: str = "https://loj.ac",
+) -> DataFrame:
+    """SYZOJ export → canonical problem columns (syzoj/main.go:163-213)."""
+    p = F.from_json(F.col(body_col), SYZOJ_EXPORT_SCHEMA).alias("p")
+    df = df.withColumn("p", p)
+    judge = (
+        F.when(F.col("p.obj.type") == "traditional", F.lit("传统"))
+        .when(F.col("p.obj.type") == "submit-answer", F.lit("提交答案"))
+        .when(F.col("p.obj.type") == "interaction", F.lit("交互"))
+        .otherwise(F.lit(""))
+    )
+    judge = F.when(
+        F.array_contains(F.coalesce("p.obj.tags", F.array().cast("array<string>")),
+                         "Special Judge"),
+        F.concat(judge, F.lit(" Special Judge")),
+    ).otherwise(judge)
+    desc = F.format_string(
+        SYZOJ_TEMPLATE,
+        F.coalesce("p.obj.description", F.lit("")),
+        F.coalesce("p.obj.input_format", F.lit("")),
+        F.coalesce("p.obj.output_format", F.lit("")),
+        F.coalesce("p.obj.example", F.lit("")),
+        F.coalesce("p.obj.limit_and_hint", F.lit("")),
+    )
+    return df.select(
+        F.col(pid_col).alias("pid"),
+        F.col("p.success").alias("ok"),
+        F.col("p.obj.time_limit").alias("time_ms"),
+        F.col("p.obj.memory_limit").alias("memory_mb"),
+        judge.alias("judge_type"),
+        F.concat(F.lit(home_url + "/problem/"), F.col(pid_col)).alias("url"),
+        desc.alias("description"),
+        F.lit("markdown").alias("description_type"),
+    )
+
+
+def parse_lutece_listing(df: DataFrame, body_col: str = "body") -> DataFrame:
+    """GraphQL listing page → (max_page, exploded (pid,title)) rows
+    (lutece.go:44-54, 111-131)."""
+    p = F.from_json(F.col(body_col), LUTECE_LIST_SCHEMA)
+    df = df.withColumn("p", p)
+    return df.select(
+        F.col("p.data.problemList.maxPage").alias("max_page"),
+        F.explode("p.data.problemList.problemList").alias("item"),
+    ).select("max_page", F.col("item.slug").alias("pid"),
+             F.col("item.title").alias("title"))
+
+
+def parse_lutece_problem(
+    df: DataFrame, body_col: str = "body", pid_col: str = "pid"
+) -> DataFrame:
+    """GraphQL problem → canonical columns (lutece.go:176-231)."""
+    df = df.withColumn("p", F.from_json(F.col(body_col), LUTECE_PROBLEM_SCHEMA))
+    sample = F.concat(
+        F.lit(LUTECE_TABLE_HEAD),
+        _sample_rows("p.data.problem.samples.sampleList",
+                     "inputContent", "outputContent"),
+        F.lit("</table>\n"),
+    )
+    desc = F.format_string(
+        LUTECE_TEMPLATE,
+        F.coalesce("p.data.problem.content", F.lit("")),
+        F.coalesce("p.data.problem.standardInput", F.lit("")),
+        F.coalesce("p.data.problem.standardOutput", F.lit("")),
+        sample,
+        F.coalesce("p.data.problem.constraints", F.lit("")),
+        F.coalesce("p.data.problem.note", F.lit("")),
+        F.coalesce("p.data.problem.source", F.lit("")),
+    )
+    return df.select(
+        F.col(pid_col).alias("pid"),
+        F.col("p.data.problem.limitation.timeLimit").alias("time_ms"),
+        F.col("p.data.problem.limitation.memoryLimit").alias("memory_mb"),
+        F.lit("传统").alias("judge_type"),
+        F.format_string(
+            "https://acm.uestc.edu.cn/problem/%s/description", F.col(pid_col)
+        ).alias("url"),
+        desc.alias("description"),
+        F.lit("markdown").alias("description_type"),
+    )
+
+
+def parse_joyoi_listing(
+    df: DataFrame, src: str, body_col: str = "body"
+) -> DataFrame:
+    """REST listing → (pid,title) filtered to source==src && isVisible
+    (joyoi.go:30-43, 96-104 — the P3 visibility filter)."""
+    df = df.withColumn("p", F.from_json(F.col(body_col), JOYOI_LIST_SCHEMA))
+    items = df.select(F.explode("p.data.result").alias("item"))
+    return items.filter(
+        (F.col("item.source") == src) & F.col("item.isVisible")
+    ).select(F.col("item.id").alias("pid"), F.col("item.title").alias("title"))
+
+
+def parse_joyoi_problem(
+    df: DataFrame,
+    src: str = "Local",
+    body_col: str = "body",
+    samples_col: str | None = "samples_body",
+    pid_col: str = "pid",
+) -> DataFrame:
+    """REST problem → canonical columns (joyoi.go:134-170): memory bytes→MB,
+    markdown guard (T10), sample-table append for Local, html_final
+    passthrough otherwise."""
+    df = df.withColumn("p", F.from_json(F.col(body_col), JOYOI_PROBLEM_SCHEMA))
+    body = F.coalesce("p.data.body", F.lit(""))
+    if src == "Local":
+        guarded = F.when(
+            (F.length(body) > 0) & (F.substring(body, 1, 1) != "#"),
+            F.concat(F.lit("# \n"), body),
+        ).otherwise(body)
+        if samples_col is not None:
+            sp = F.from_json(F.col(samples_col), JOYOI_SAMPLES_SCHEMA)
+            df = df.withColumn("sp", sp)
+            table = F.concat(
+                F.lit(JOYOI_TABLE_HEAD),
+                _sample_rows("sp.data", "input", "output"),
+                F.lit("</table>\n"),
+            )
+            has_samples = (
+                F.col("sp.code").eqNullSafe(200) & (F.size("sp.data") > 0)
+            )
+            desc = F.when(has_samples, F.concat(guarded, table)).otherwise(guarded)
+        else:
+            desc = guarded
+        dtype = F.lit("markdown")
+    else:
+        desc = body
+        dtype = F.lit("html_final")
+    return df.select(
+        F.col(pid_col).alias("pid"),
+        F.col("p.data.timeLimitationPerCaseInMs").alias("time_ms"),
+        (F.col("p.data.memoryLimitationPerCaseInByte") / 1024 / 1024)
+        .cast("int")
+        .alias("memory_mb"),
+        F.concat(F.lit("http://www.joyoi.cn/problem/"), F.col(pid_col)).alias(
+            "url"
+        ),
+        desc.alias("description"),
+        dtype.alias("description_type"),
+    )
+
+
+@dataclass(frozen=True)
+class Adapter:
+    """§2.8 — the pluggable-source contract: listing parser + problem
+    parser, both (DataFrame, …) → DataFrame with fixed output columns."""
+
+    name: str
+    parse_listing: Callable[..., DataFrame]
+    parse_problem: Callable[..., DataFrame]
+    kind: str  # 'json' | 'graphql' | 'rest'
+
+
+ADAPTERS: dict[str, Adapter] = {
+    "syzoj": Adapter("syzoj", lambda df, **kw: df, parse_syzoj_problem, "json"),
+    "lutece": Adapter("lutece", parse_lutece_listing, parse_lutece_problem,
+                      "graphql"),
+    "joyoi": Adapter("joyoi", parse_joyoi_listing, parse_joyoi_problem, "rest"),
+}

@@ -1,0 +1,168 @@
+"""Adapter parity: feeding the exact wire shapes from the reference's Go
+structs must produce byte-identical normalized descriptions and correct
+limits/classification (SURVEY §1.3, §2.8)."""
+
+from __future__ import annotations
+
+import json
+
+
+def test_syzoj_export_normalization(spark):
+    from crawler_spark.sources.adapters import SYZOJ_TEMPLATE, parse_syzoj_problem
+
+    payload = {
+        "success": True,
+        "obj": {
+            "title": "T",
+            "description": "desc ![i](a.png)",
+            "input_format": "in",
+            "output_format": "out",
+            "example": "ex",
+            "limit_and_hint": "hint",
+            "time_limit": 1000,
+            "memory_limit": 256,
+            "have_additional_file": False,
+            "file_io": False,
+            "type": "traditional",
+            "tags": ["NOIP", "Special Judge"],
+        },
+    }
+    df = spark.createDataFrame([("p1", json.dumps(payload))], "pid string, body string")
+    row = parse_syzoj_problem(df, home_url="https://loj.ac").collect()[0]
+    assert row.ok is True
+    assert row.time_ms == 1000 and row.memory_mb == 256
+    assert row.judge_type == "传统 Special Judge"  # syzoj/main.go:177-190
+    assert row.url == "https://loj.ac/problem/p1"
+    assert row.description == SYZOJ_TEMPLATE % ("desc ![i](a.png)", "in", "out",
+                                                "ex", "hint")
+    assert row.description_type == "markdown"
+
+
+def test_syzoj_judge_type_variants(spark):
+    from crawler_spark.sources.adapters import parse_syzoj_problem
+
+    rows = []
+    for typ, want in [("traditional", "传统"), ("submit-answer", "提交答案"),
+                      ("interaction", "交互")]:
+        payload = {"success": True, "obj": {"type": typ, "tags": []}}
+        rows.append((typ, json.dumps(payload)))
+    df = spark.createDataFrame(rows, "pid string, body string")
+    got = {r.pid: r.judge_type for r in parse_syzoj_problem(df).collect()}
+    assert got == {"traditional": "传统", "submit-answer": "提交答案",
+                   "interaction": "交互"}
+
+
+def test_lutece_listing_and_problem(spark):
+    from crawler_spark.sources.adapters import (
+        LUTECE_TABLE_HEAD,
+        LUTECE_TEMPLATE,
+        parse_lutece_listing,
+        parse_lutece_problem,
+    )
+
+    listing = {
+        "data": {
+            "problemList": {
+                "maxPage": 7,
+                "problemList": [
+                    {"title": "A", "slug": "a"},
+                    {"title": "B", "slug": "b"},
+                ],
+            }
+        }
+    }
+    ldf = spark.createDataFrame([(json.dumps(listing),)], "body string")
+    got = {(r.pid, r.title, r.max_page) for r in parse_lutece_listing(ldf).collect()}
+    assert got == {("a", "A", 7), ("b", "B", 7)}
+
+    problem = {
+        "data": {
+            "problem": {
+                "title": "A",
+                "content": "C",
+                "standardInput": "SI",
+                "standardOutput": "SO",
+                "constraints": "CT",
+                "note": "N",
+                "limitation": {"timeLimit": 2000, "memoryLimit": 512},
+                "samples": {
+                    "sampleList": [
+                        {"inputContent": "1 2", "outputContent": "3"},
+                        {"inputContent": "4", "outputContent": "5"},
+                    ]
+                },
+                "source": "S",
+            }
+        }
+    }
+    pdf = spark.createDataFrame([("a", json.dumps(problem))], "pid string, body string")
+    row = parse_lutece_problem(pdf).collect()[0]
+    assert row.time_ms == 2000 and row.memory_mb == 512
+    assert row.url == "https://acm.uestc.edu.cn/problem/a/description"
+    # reproduce the Go loop (lutece.go:187-230) literally
+    sample = (
+        LUTECE_TABLE_HEAD
+        + "<tr><td>1 2</td><td>3</td></tr>"
+        + "<tr><td>4</td><td>5</td></tr>"
+        + "</table>\n"
+    )
+    want = LUTECE_TEMPLATE % ("C", "SI", "SO", sample, "CT", "N", "S")
+    assert row.description == want
+
+
+def test_joyoi_listing_filter_and_problem(spark):
+    from crawler_spark.sources.adapters import (
+        JOYOI_TABLE_HEAD,
+        parse_joyoi_listing,
+        parse_joyoi_problem,
+    )
+
+    listing = {
+        "code": 200,
+        "msg": "",
+        "data": {
+            "result": [
+                {"id": "1", "title": "A", "tags": "", "isVisible": True,
+                 "source": "Local"},
+                {"id": "2", "title": "B", "tags": "", "isVisible": False,
+                 "source": "Local"},
+                {"id": "3", "title": "C", "tags": "", "isVisible": True,
+                 "source": "CodeVS"},
+            ],
+            "count": 3,
+        },
+    }
+    ldf = spark.createDataFrame([(json.dumps(listing),)], "body string")
+    got = {(r.pid, r.title) for r in parse_joyoi_listing(ldf, "Local").collect()}
+    assert got == {("1", "A")}  # P3: source==src && isVisible
+
+    problem = {
+        "code": 200, "msg": "",
+        "data": {
+            "id": "1", "title": "A", "body": "no heading body", "tags": "",
+            "isVisible": True, "source": "Local",
+            "timeLimitationPerCaseInMs": 1000,
+            "memoryLimitationPerCaseInByte": 268435456,
+        },
+    }
+    samples = {"code": 200, "msg": "",
+               "data": [{"input": "x", "output": "y"}]}
+    pdf = spark.createDataFrame(
+        [("1", json.dumps(problem), json.dumps(samples))],
+        "pid string, body string, samples_body string",
+    )
+    row = parse_joyoi_problem(pdf, src="Local").collect()[0]
+    assert row.time_ms == 1000
+    assert row.memory_mb == 256  # bytes → MB (joyoi.go:136)
+    # T10 markdown guard + sample table append (joyoi.go:142-167)
+    want = ("# \nno heading body" + JOYOI_TABLE_HEAD
+            + "<tr><td>x</td><td>y</td></tr>" + "</table>\n")
+    assert row.description == want
+    assert row.description_type == "markdown"
+
+    # non-Local source: html_final passthrough, no guard, no table
+    row2 = parse_joyoi_problem(
+        pdf, src="CodeVS", samples_col=None
+    ).collect()[0]
+    assert row2.description == "no heading body"
+    assert row2.description_type == "html_final"
