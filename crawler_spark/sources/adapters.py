@@ -404,6 +404,104 @@ def parse_joyoi_problem(
     )
 
 
+# ---------------------------------------------------------------------------
+# UOJ — the HTML-family adapter (uoj/bzoj/tsinsen parse HTML; uoj is the
+# representative: bzoj additionally needs an authenticated session (S11),
+# cogs/tsinsen are legacy-excluded from the reference build).
+# Listing extraction is a pandas UDF over the page body (SURVEY §1.3: HTML
+# has no schema — regex/DOM walk inside an Arrow batch); the statement
+# normalization is pure column regexes transcribed from uoj.go:105-159.
+# ---------------------------------------------------------------------------
+
+UOJ_LIST_SCHEMA = "max_page int, pid string, title string"
+
+
+def parse_uoj_listing(df: DataFrame, body_col: str = "body") -> DataFrame:
+    """UOJ listing page → (max_page, pid, title) rows (uoj.go:49-99:
+    paginator max over the pagination <ul>, '#' stripped from pids (P5),
+    titles from the row's <a>)."""
+    import re as _re
+
+    import pandas as pd  # noqa: F811
+
+    pag_re = _re.compile(r"<ul[^>]*pagination[^>]*>(.*?)</ul>", _re.S)
+    num_re = _re.compile(r">\s*(\d+)\s*<")
+    tbody_re = _re.compile(r"<tbody>(.*?)</tbody>", _re.S)
+    row_re = _re.compile(
+        r"<tr>\s*<td>\s*(#?[^<]*?)\s*</td>\s*<td><a[^>]*>(.*?)</a>", _re.S
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out = {"max_page": [], "pid": [], "title": []}
+            for body in pdf[body_col]:
+                pag = pag_re.search(body or "")
+                nums = [int(x) for x in num_re.findall(pag.group(1))] if pag else []
+                max_page = max(nums, default=0)
+                tb = tbody_re.search(body or "")
+                for m in row_re.finditer(tb.group(1) if tb else ""):
+                    out["max_page"].append(max_page)
+                    out["pid"].append(m.group(1).replace("#", ""))
+                    out["title"].append(m.group(2))
+            yield pd.DataFrame(out)
+
+    return df.select(body_col).mapInPandas(run, UOJ_LIST_SCHEMA)
+
+
+def parse_uoj_problem(
+    df: DataFrame, body_col: str = "body", pid_col: str = "pid"
+) -> DataFrame:
+    """UOJ statement → canonical columns, transcribed from uoj.go:105-159:
+    strip the <article> wrapper, <h3>x</h3> → '\\n# x\\n\\n' (T6, untrimmed
+    inner — exact parity with x[4:len-5]), LaTeX limit extraction (T7:
+    时间限制 $N\\texttt{s}$ → ms, (空间|内存)限制 $N\\texttt{MB|GB}$),
+    judge type by Time==0 (T8), description_type 'html'."""
+    stmt = F.regexp_extract(
+        F.col(body_col),
+        r'(?s)<article class="top-buffer-md">(.*?)</article>',
+        1,
+    )
+    stmt = F.when(stmt != "", stmt).otherwise(F.col(body_col))
+    html = F.regexp_replace(stmt, r"<h3>(.+?)</h3>", "\n# $1\n\n")
+    time_raw = F.trim(
+        F.regexp_extract(
+            html,
+            "时间限制(?:</strong>)*：(?:</strong>)*\\$(.+?)\\\\texttt\\{s\\}\\$",
+            1,
+        )
+    )
+    time_ms = F.when(
+        time_raw.rlike(r"^\d+$"), time_raw.cast("int") * 1000
+    ).otherwise(F.lit(0))
+    mem_raw = F.trim(
+        F.regexp_extract(
+            html,
+            "(?:空间|内存)限制(?:</strong>)*：(?:</strong>)*\\$(.+?)\\\\texttt\\{([MG])B\\}\\$",
+            1,
+        )
+    )
+    mem_unit = F.regexp_extract(
+        html,
+        "(?:空间|内存)限制(?:</strong>)*：(?:</strong>)*\\$(.+?)\\\\texttt\\{([MG])B\\}\\$",
+        2,
+    )
+    memory_mb = F.when(
+        mem_raw.rlike(r"^\d+$") & (mem_unit == "M"), mem_raw.cast("int")
+    ).when(
+        mem_raw.rlike(r"^\d+$") & (mem_unit == "G"), mem_raw.cast("int") * 1024
+    ).otherwise(F.lit(0))
+    judge = F.when(time_ms == 0, F.lit("提交答案")).otherwise(F.lit("传统或交互"))
+    return df.select(
+        F.col(pid_col).alias("pid"),
+        time_ms.alias("time_ms"),
+        memory_mb.alias("memory_mb"),
+        judge.alias("judge_type"),
+        F.concat(F.lit("http://uoj.ac/problem/"), F.col(pid_col)).alias("url"),
+        F.concat(F.lit("# 题目描述\n\n"), html).alias("description"),
+        F.lit("html").alias("description_type"),
+    )
+
+
 @dataclass(frozen=True)
 class Adapter:
     """§2.8 — the pluggable-source contract: listing parser + problem
@@ -420,4 +518,5 @@ ADAPTERS: dict[str, Adapter] = {
     "lutece": Adapter("lutece", parse_lutece_listing, parse_lutece_problem,
                       "graphql"),
     "joyoi": Adapter("joyoi", parse_joyoi_listing, parse_joyoi_problem, "rest"),
+    "uoj": Adapter("uoj", parse_uoj_listing, parse_uoj_problem, "html"),
 }

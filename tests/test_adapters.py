@@ -166,3 +166,43 @@ def test_joyoi_listing_filter_and_problem(spark):
     ).collect()[0]
     assert row2.description == "no heading body"
     assert row2.description_type == "html_final"
+
+
+def test_uoj_listing_and_problem(spark):
+    from crawler_spark.sources.adapters import parse_uoj_listing, parse_uoj_problem
+
+    page = """
+<html><body><div><div class="uoj-content">
+<ul class="pagination"><li><a>1</a></li><li><a>2</a></li><li><a>13</a></li></ul>
+<div class="table-responsive"><table><tbody>
+<tr> <td>#101</td> <td><a href="/problem/101">A + B</a></td> <td>x</td> </tr>
+<tr> <td>#102</td> <td><a href="/problem/102">Tree</a></td> <td>y</td> </tr>
+</tbody></table></div>
+</div></div></body></html>"""
+    ldf = spark.createDataFrame([(page,)], "body string")
+    rows = parse_uoj_listing(ldf).collect()
+    got = {(r.pid, r.title, r.max_page) for r in rows}
+    assert got == {("101", "A + B", 13), ("102", "Tree", 13)}  # '#' stripped (P5)
+
+    stmt = (
+        '<article class="top-buffer-md"><h3>题目背景</h3>'
+        "<p>时间限制：$1\\texttt{s}$</p>"
+        "<p>空间限制：$256\\texttt{MB}$</p>"
+        "<p>body text</p></article>"
+    )
+    pdf = spark.createDataFrame([("101", stmt)], "pid string, body string")
+    row = parse_uoj_problem(pdf).collect()[0]
+    assert row.time_ms == 1000          # uoj.go:121-130 (s -> ms)
+    assert row.memory_mb == 256         # uoj.go:131-144
+    assert row.judge_type == "传统或交互"  # T8: Time != 0
+    assert row.description.startswith("# 题目描述\n\n")
+    assert "\n# 题目背景\n\n" in row.description   # T6 heading rewrite
+    assert "<article" not in row.description
+    assert row.description_type == "html"
+
+    # GB unit and missing time: x1024, 提交答案 (uoj.go:141,153-157)
+    stmt2 = '<article class="top-buffer-md"><p>内存限制：$2\\texttt{GB}$</p></article>'
+    pdf2 = spark.createDataFrame([("102", stmt2)], "pid string, body string")
+    row2 = parse_uoj_problem(pdf2).collect()[0]
+    assert row2.memory_mb == 2048 and row2.time_ms == 0
+    assert row2.judge_type == "提交答案"
