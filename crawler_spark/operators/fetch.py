@@ -60,6 +60,26 @@ class SyntheticFetcher:
 
 
 @dataclass
+class MappingFetcher:
+    """Dict-backed fetcher (url → body string): the simplest pluggable
+    source — fixtures, replay caches, tests.  ``flaky`` marks one url whose
+    first attempt fails (exercises the retry envelope, C2)."""
+
+    pages: dict
+    flaky: str | None = None
+
+    def fetch(self, url: str, generation: int) -> tuple[str, int, int, bytes | None]:
+        attempt = 2 if url == self.flaky else 1
+        body = self.pages.get(url)
+        if body is None:
+            return "error", 404, 1, None
+        return "ok", 200, attempt, body.encode()
+
+    def simulated(self) -> bool:
+        return True
+
+
+@dataclass
 class HttpFetcher:
     """Real-network fetcher (stdlib urllib), same envelope as SafeGet
     (tools.go:54-77): sleep-before-request, retry ×3, UA header."""
