@@ -318,6 +318,79 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# duplicate-cluster assignment (connected components over dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Cluster duplicate pairs into components: (doc_id, cluster_id) where
+    cluster_id = min doc_id reachable through the pair graph.
+
+    Iterative min-label propagation (the standard Spark shape for CC /
+    label propagation — a driver loop over DataFrame joins, converging in
+    O(graph diameter) rounds; near-dup clusters are shallow so 2-3 rounds
+    in practice).  Each round: label(v) ← min(label(v), min label of
+    neighbors); stop when no label changed.  Deterministic, so the DuckDB
+    recursive-CTE oracle computes identical labels.
+
+    Scale notes: each round is one shuffle (groupBy doc over the edge
+    list); the edge list stays fixed and small relative to the corpus
+    (bounded by the candidate-pair generator, not N²).  For graphs with
+    deep chains use the large-star/small-star variant; dup clusters don't
+    need it.
+    """
+    from pyspark import StorageLevel
+
+    # the edge list is re-joined every round — persist it once so the loop
+    # never recomputes the (possibly expensive) pair-generation upstream
+    edges = (
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("b_id").alias("src"), F.col("a_id").alias("dst")
+            )
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(
+                labels.withColumnRenamed("doc_id", "dst"), on="dst"
+            )
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, on="doc_id", how="left")
+            .select(
+                "doc_id",
+                F.least(
+                    "cluster_id", F.coalesce("nbr_min", "cluster_id")
+                ).alias("cluster_id"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels
+
+
+# ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 

@@ -262,6 +262,39 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 SQL_DEDUP_SIMHASH = _simhash_sql()
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components over the MinHash-LSH pair
+    graph (iterative min-label propagation; DuckDB oracle uses a recursive
+    CTE over the same pairs — identical labels by determinism)."""
+    sig = DD.minhash_signatures(_corpus(spark, sf_dir), num_perm=16)
+    pairs = DD.lsh_candidate_pairs(sig, num_perm=16, bands=4, min_est_jaccard=0.5)
+    cc = DD.connected_components(pairs)
+    return cc.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({SQL_DEDUP_MINHASH}),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION
+  SELECT b_id AS src, a_id AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges)
+SELECT CAST(n.doc_id AS BIGINT) AS doc_id,
+       CAST(least(n.doc_id, min(r.dst)) AS BIGINT) AS cluster_id
+FROM nodes n LEFT JOIN reach r ON r.src = n.doc_id
+GROUP BY n.doc_id
+"""
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = DD.ngram_jaccard_pairs(
         _corpus(spark, sf_dir), k=3, min_jaccard=0.6, block_col="source"
@@ -718,6 +751,7 @@ ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING),
     "ann_bruteforce_topk": (q_ann_bruteforce, SQL_ANN_BRUTEFORCE),
     "ann_lsh_bucketed": (q_ann_lsh, SQL_ANN_LSH),

@@ -300,3 +300,36 @@ def test_sample_frames_every_nth(spark):
     assert got == {("vid-0", 0), ("vid-0", 3), ("vid-0", 6), ("vid-0", 9)}
     for r in out:
         assert (codecs.decode_png(bytes(r.bytes)) == frames[r.frame_idx]).all()
+
+
+def test_connected_components_match_union_find(spark):
+    from crawler_spark.operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    corpus = _corpus(spark)
+    pairs_df = lsh_candidate_pairs(minhash_signatures(corpus, 16), 16)
+    pairs = [(r.a_id, r.b_id) for r in pairs_df.collect()]
+    got = {r.doc_id: r.cluster_id for r in connected_components(pairs_df).collect()}
+
+    # reference: plain union-find
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    assert got == want
+    # cluster representative is the min member
+    for doc, cl in got.items():
+        assert cl <= doc
