@@ -702,6 +702,199 @@ FROM imgs
 SQL_MM_DECODE_FEATURES = _decode_features_sql()
 
 
+# ---------------------------------------------------------------------------
+# corpus-pipeline queries: sessionization, stratified sampling, shard
+# packing, tf-idf — the batch building blocks of a training-data mix
+# ---------------------------------------------------------------------------
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (the batch analog of streaming session windows): a new
+    session starts after a >30 min gap; per (user, session) rollup."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap = F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(w))
+    new_sess = (gap.isNull() | (gap > 1_800_000)).cast("long")
+    sess = e.withColumn(
+        "session_idx", F.sum(new_sess).over(w)
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.unix_millis(F.min("ts")).alias("start_ms"),
+        F.unix_millis(F.max("ts")).alias("end_ms"),
+        F.round(F.sum("value").cast("double"), 4).alias("total_value"),
+    )
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)) AS gap_ms
+  FROM events),
+s AS (
+  SELECT user_id, event_id, ts, value,
+         sum(CASE WHEN gap_ms IS NULL OR gap_ms > 1800000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_idx
+  FROM g)
+SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
+       epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms,
+       round(CAST(sum(value) AS DOUBLE), 4) AS total_value
+FROM s GROUP BY user_id, session_idx
+"""
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for a training mix: per-language
+    keep-rates applied via a seeded md5 coin (byte value < rate·256/100) —
+    reproducible and engine-portable, unlike rand()."""
+    rates = {"en": 50, "de": 20, "fr": 20, "es": 20, "zh": 10}
+    d = _t(spark, sf_dir, "documents")
+    coin = F.expr(
+        "(instr('0123456789abcdef', substring(md5(concat('smp1:', "
+        "cast(doc_id as string))), 1, 1)) - 1) * 16 + "
+        "(instr('0123456789abcdef', substring(md5(concat('smp1:', "
+        "cast(doc_id as string))), 2, 1)) - 1)"
+    )
+    thr = None
+    for lang, pct in rates.items():
+        t = pct * 256 // 100
+        thr = (
+            F.when(F.col("lang") == lang, F.lit(t))
+            if thr is None
+            else thr.when(F.col("lang") == lang, F.lit(t))
+        )
+    thr = thr.otherwise(F.lit(0))
+    kept = d.withColumn("__keep", (coin < thr).cast("long"))
+    return kept.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum("__keep").cast("long").alias("n_kept"),
+        F.round(F.sum("__keep") / F.count("*").cast("double"), 4).alias(
+            "keep_ratio"
+        ),
+    )
+
+
+def _sample_sql() -> str:
+    rates = {"en": 50, "de": 20, "fr": 20, "es": 20, "zh": 10}
+    case = "CASE " + " ".join(
+        f"WHEN lang = '{lang}' THEN {pct * 256 // 100}"
+        for lang, pct in rates.items()
+    ) + " ELSE 0 END"
+    coin = (
+        "(strpos('0123456789abcdef', substr(md5('smp1:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 + "
+        "(strpos('0123456789abcdef', substr(md5('smp1:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
+    )
+    return f"""
+WITH k AS (
+  SELECT lang, CASE WHEN ({coin}) < ({case}) THEN 1 ELSE 0 END AS keep_
+  FROM documents)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(keep_) AS BIGINT) AS n_kept,
+       round(CAST(sum(keep_) AS DOUBLE) / count(*), 4) AS keep_ratio
+FROM k GROUP BY lang
+"""
+
+
+SQL_SAMPLE_STRATIFIED = _sample_sql()
+
+
+def q_pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing: within each source (the parallel packing
+    unit at scale), docs in doc_id order are packed into shards of ≤5000
+    tokens via a running sum — shard_idx = floor((cumsum − n_tok)/budget)."""
+    from pyspark.sql import Window
+
+    budget = 5000
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", TS.ws_token_count(F.col("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return d.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.floor((cum - F.col("n_tokens")) / budget).cast("long").alias(
+            "shard_idx"
+        ),
+    )
+
+
+SQL_PACK_TOKEN_SHARDS = """
+WITH t AS (
+  SELECT doc_id, source,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+  FROM documents)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens) / 5000.0) AS BIGINT) AS shard_idx
+FROM t
+"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf over (source, word): classic corpus-analysis rollup; top-5
+    terms per source by (score desc, word asc)."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("word")
+    )
+    tf = words.groupBy("source", "word").agg(F.count("*").alias("tf"))
+    n_sources = d.select("source").distinct().count()
+    dfreq = tf.groupBy("word").agg(
+        F.countDistinct("source").alias("df")
+    )
+    scored = tf.join(dfreq, "word").withColumn(
+        "score",
+        F.round(F.col("tf") * F.log(F.lit(float(n_sources)) / F.col("df")), 4),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("score").desc(), F.col("word").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 5)
+        .select("source", "word", F.col("tf").cast("long").alias("tf"),
+                F.col("score").cast("double").alias("score"), "rk")
+    )
+
+
+SQL_TFIDF_TOP_TERMS = """
+WITH words AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+  FROM documents),
+tf AS (SELECT source, word, count(*) AS tf FROM words GROUP BY source, word),
+dfreq AS (SELECT word, count(DISTINCT source) AS df FROM tf GROUP BY word),
+ns AS (SELECT CAST(count(DISTINCT source) AS DOUBLE) AS n FROM documents),
+scored AS (
+  SELECT tf.source, tf.word, tf.tf,
+         round(tf.tf * ln(ns.n / dfreq.df), 4) AS score
+  FROM tf JOIN dfreq USING (word) CROSS JOIN ns),
+ranked AS (
+  SELECT source, word, tf, score,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY score DESC, word ASC) AS rk
+  FROM scored)
+SELECT source, word, CAST(tf AS BIGINT) AS tf, CAST(score AS DOUBLE) AS score,
+       CAST(rk AS INTEGER) AS rk
+FROM ranked WHERE rk <= 5
+"""
+
+
 def q_mm_av_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio/video as opaque binary + typed metadata (the multimodal column
     contract beyond images): payload bytes and duration derived
@@ -763,4 +956,8 @@ ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "mm_image_metadata": (q_mm_image_metadata, SQL_MM_IMAGE_METADATA),
     "mm_decode_features": (q_mm_decode_features, SQL_MM_DECODE_FEATURES),
     "mm_av_metadata": (q_mm_av_metadata, SQL_MM_AV_METADATA),
+    "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
+    "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
+    "pack_token_shards": (q_pack_token_shards, SQL_PACK_TOKEN_SHARDS),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
 }
