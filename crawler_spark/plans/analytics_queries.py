@@ -129,11 +129,15 @@ COS_AB = f"{DOT_A_B} / ({NORM.format(x='a')} * {NORM.format(x='b')})"
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = DD.exact_dup_groups(_corpus(spark, sf_dir))
+    # doc_ids flattened to a '|'-joined string: scalar output columns only,
+    # so the driver's value-hash normalization can't diverge on array types
     return out.select(
         "text_md5",
         F.col("n_dups").cast("long").alias("n_dups"),
         F.col("keep_doc_id").cast("long").alias("keep_doc_id"),
-        F.col("doc_ids").cast("array<long>").alias("doc_ids"),
+        F.expr(
+            "concat_ws('|', transform(sort_array(doc_ids), x -> cast(x as string)))"
+        ).alias("doc_ids"),
     )
 
 
@@ -141,7 +145,8 @@ SQL_DEDUP_EXACT = f"""
 WITH {CORPUS_SQL.strip()}
 SELECT md5(text) AS text_md5, CAST(count(*) AS BIGINT) AS n_dups,
        CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
-       list_sort(list(doc_id)) AS doc_ids
+       array_to_string(list_transform(list_sort(list(doc_id)),
+                                      x -> CAST(x AS VARCHAR)), '|') AS doc_ids
 FROM corpus GROUP BY md5(text) HAVING count(*) > 1
 """
 

@@ -799,14 +799,21 @@ def q_w1_listing_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         _listing(spark, sf_dir)
         .select("judge", F.concat_ws(":", "pid", "title").alias("entry"))
         .groupBy("judge")
-        .agg(F.sort_array(F.collect_list("entry")).alias("entries"),
-             F.count("*").cast("long").alias("n"))
+        .agg(
+            # flattened to one string: scalar output only (array-type hash
+            # normalization is comparator-dependent)
+            F.concat_ws("\x01", F.sort_array(F.collect_list("entry"))).alias(
+                "entries"
+            ),
+            F.count("*").cast("long").alias("n"),
+        )
     )
 
 
 SQL_W1_LISTING_SNAPSHOT = f"""
 WITH listing AS ({LISTING_SQL})
-SELECT judge, list_sort(list(pid || ':' || title)) AS entries,
+SELECT judge,
+       array_to_string(list_sort(list(pid || ':' || title)), chr(1)) AS entries,
        CAST(count(*) AS BIGINT) AS n
 FROM listing GROUP BY judge
 """
