@@ -80,6 +80,45 @@ class MappingFetcher:
 
 
 @dataclass
+class SessionFetcher:
+    """S11 — authenticated session source (bzoj flow,
+    /root/reference/plugin/bzoj/bzoj.go:38-68: cookie-jar login POST +
+    UA-injecting transport).
+
+    Wraps an inner fetcher; performs the login exchange ONCE per worker
+    process (the reference logs in once per plugin process at Start), caches
+    the returned session token, and presents it on every subsequent request
+    as a ``Cookie:``-style url suffix the inner fetcher understands.  With
+    ``HttpFetcher`` inside, swap ``_present`` for a real header map; with
+    ``MappingFetcher`` the protocol is testable hermetically: the login url
+    maps to the token body, protected pages are keyed ``url‖'␁'‖token``.
+    """
+
+    inner: object
+    login_url: str
+    user_agent: str = "Mozilla/5.0 (crawler-spark)"  # bzoj.go:59 analog
+    _token: str | None = None
+
+    def _ensure_login(self) -> str | None:
+        if self._token is None:
+            status, _code, _att, body = self.inner.fetch(self.login_url, 0)
+            if status == "ok" and body is not None:
+                tok = body.decode()
+                if "alert" in tok:  # bzoj.go:48-50 login-failure check
+                    raise RuntimeError(f"login error: {tok[:80]}")
+                self._token = tok
+        return self._token
+
+    def fetch(self, url: str, generation: int) -> tuple[str, int, int, bytes | None]:
+        token = self._ensure_login()
+        keyed = f"{url}\x01{token}" if token is not None else url
+        return self.inner.fetch(keyed, generation)
+
+    def simulated(self) -> bool:
+        return self.inner.simulated()
+
+
+@dataclass
 class HttpFetcher:
     """Real-network fetcher (stdlib urllib), same envelope as SafeGet
     (tools.go:54-77): sleep-before-request, retry ×3, UA header."""

@@ -115,3 +115,33 @@ def test_all_adapter_kinds_through_fetch_and_parse(spark):
     )
     links = extract_image_links(problems).collect()
     assert len(links) == 1 and links[0].src == "/img/fig.png"
+
+
+def test_session_fetcher_login_once_and_auth_pages(spark):
+    """S11: the session fetcher logs in once per worker, then presents the
+    session token on every request; unauthenticated fetches 404."""
+    from crawler_spark.operators.fetch import (
+        MappingFetcher,
+        SessionFetcher,
+        fetch_stage,
+    )
+
+    token = "sess-42"
+    pages = {"http://auth.test/login": token}
+    for i in range(6):
+        pages[f"http://auth.test/problem/{i}\x01{token}"] = f"body-{i}"
+
+    frontier = spark.createDataFrame(
+        [(f"http://auth.test/problem/{i}", "auth.test", 0) for i in range(6)],
+        "url string, host string, generation int",
+    )
+    fetcher = SessionFetcher(MappingFetcher(pages), "http://auth.test/login")
+    rows = fetch_stage(frontier, fetcher, num_buckets=2).collect()
+    assert len(rows) == 6
+    assert all(r.status == "ok" for r in rows)
+    bodies = sorted(bytes(r.body).decode() for r in rows)
+    assert bodies == [f"body-{i}" for i in range(6)]
+
+    # without the session wrapper, the protected pages are invisible
+    plain = fetch_stage(frontier, MappingFetcher(pages), num_buckets=2).collect()
+    assert all(r.status == "error" for r in plain)
