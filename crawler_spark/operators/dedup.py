@@ -115,7 +115,12 @@ def minhash_signatures(
 
     Returns (doc_id, s0..s{P-1}, sig:array<string>).
     """
-    sh = exploded_shingles(docs, k, text_col, distinct=False)
+    from pyspark import StorageLevel
+
+    # sh is scanned twice (distinct-hash build + the join back) — persist it
+    sh = exploded_shingles(docs, k, text_col, distinct=False).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # hash each DISTINCT shingle once, then join back: corpora repeat
     # shingles heavily, so this cuts the md5 work from O(occurrences·P) to
     # O(distinct·P); Catalyst broadcasts the hash table while it fits,
