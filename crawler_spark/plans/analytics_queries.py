@@ -940,6 +940,70 @@ FROM media GROUP BY kind
 """
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship pipeline composition: the full curation pass a training-data
+    corpus gets — exact-dedup keep (drop non-canonical copies) → quality
+    gate (score ≥ 0.7) → per-language rollup of survivors with token
+    budget.  One declarative plan: Catalyst fuses the dedup anti-join, the
+    quality projection and the rollup; nothing materializes in between."""
+    c = _corpus(spark, sf_dir)
+    dups = DD.exact_dup_groups(c).select(
+        F.explode(
+            F.expr("filter(doc_ids, x -> x != keep_doc_id)")
+        ).alias("doc_id")
+    )
+    kept = c.join(dups, "doc_id", "left_anti")
+    feat = kept.select("doc_id", "source", *TS.quality_features("text"))
+    scored = feat.withColumn("quality", TS.quality_score())
+    good = scored.filter(F.col("quality") >= 0.7)
+    return good.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+    )
+
+
+SQL_CORPUS_CURATION = f"""
+WITH {CORPUS_SQL.strip()},
+dups AS (
+  SELECT c.doc_id
+  FROM corpus c JOIN (
+    SELECT md5(text) AS h, min(doc_id) AS min_id
+    FROM corpus GROUP BY md5(text) HAVING count(*) > 1
+  ) g ON md5(c.text) = g.h
+  WHERE c.doc_id != g.min_id
+),
+kept AS (
+  SELECT c.* FROM corpus c
+  WHERE NOT EXISTS (SELECT 1 FROM dups d WHERE d.doc_id = c.doc_id)
+),
+feat AS (
+  SELECT doc_id, source,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         round((CAST(length(text) AS DOUBLE) - len(regexp_split_to_array(trim(text), '\\s+')) + 1)
+               / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS mean_word_len,
+         round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+               / length(text), 4) AS punct_ratio,
+         round(CAST(len(regexp_extract_all(text, '\\b({"|".join(TS.STOPWORDS)})\\b')) AS DOUBLE)
+               / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS stopword_ratio
+  FROM kept
+),
+scored AS (
+  SELECT *,
+       round((CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1 ELSE 0 END) * CAST(0.4 AS DOUBLE)
+           + (CASE WHEN mean_word_len BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END) * CAST(0.3 AS DOUBLE)
+           + (CASE WHEN stopword_ratio > 0 THEN 1 ELSE 0 END) * CAST(0.2 AS DOUBLE)
+           + (CASE WHEN punct_ratio < 0.3 THEN 1 ELSE 0 END) * CAST(0.1 AS DOUBLE), 4) AS quality
+  FROM feat
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(quality), 4) AS avg_quality
+FROM scored WHERE quality >= 0.7 GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -965,4 +1029,5 @@ ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "pack_token_shards": (q_pack_token_shards, SQL_PACK_TOKEN_SHARDS),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    "corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
 }
