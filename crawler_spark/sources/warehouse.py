@@ -87,20 +87,35 @@ class ParquetWarehouse:
     def _is_committed(self, generation: int) -> bool:
         return (self.root / "_commits" / f"{generation}.json").exists()
 
-    def read_appends(self, table: str) -> DataFrame | None:
-        """Union of all committed generations of an append table."""
+    def read_appends(
+        self, table: str, as_of_generation: int | None = None
+    ) -> DataFrame | None:
+        """Union of committed generations of an append table.
+
+        ``as_of_generation`` = time travel (Iceberg `VERSION AS OF` parity,
+        the reference's "crawl history = commit log" property §1.4): only
+        generations ≤ the bound are visible.
+        """
+        gens = self.committed_generations()
+        if as_of_generation is not None:
+            gens = [g for g in gens if g <= as_of_generation]
         dirs = [
             str(self.root / table / f"gen={g}")
-            for g in self.committed_generations()
+            for g in gens
             if (self.root / table / f"gen={g}").exists()
         ]
         if not dirs:
             return None
         return self.spark.read.parquet(*dirs)
 
-    def read_snapshot(self, table: str) -> DataFrame | None:
-        """Latest committed snapshot of a snapshot table."""
+    def read_snapshot(
+        self, table: str, as_of_generation: int | None = None
+    ) -> DataFrame | None:
+        """Latest committed snapshot of a snapshot table, optionally as of a
+        past generation (time travel)."""
         for g in reversed(self.committed_generations()):
+            if as_of_generation is not None and g > as_of_generation:
+                continue
             path = self.root / table / f"gen={g}"
             if path.exists():
                 return self.spark.read.parquet(str(path))

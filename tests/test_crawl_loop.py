@@ -154,3 +154,25 @@ def test_uncommitted_generation_is_invisible(spark, web, tmp_path_factory):
     wh.stage_append("problems", df, 0)  # staged, never committed
     assert wh.read_appends("problems") is None
     assert wh.last_generation() is None
+
+
+def test_time_travel_reads(crawled):
+    """Iceberg VERSION-AS-OF parity: reading as of generation g shows exactly
+    the state after g's commit — the crawl history IS the commit log."""
+    wh, _ref, _metrics = crawled
+    gens = wh.committed_generations()
+    assert len(gens) >= 2
+    g0 = gens[0]
+    full = wh.read_appends("problems").count()
+    at_g0 = wh.read_appends("problems", as_of_generation=g0).count()
+    assert 0 < at_g0 < full
+    seen_g0 = wh.read_snapshot("url_seen", as_of_generation=g0)
+    seen_now = wh.read_snapshot("url_seen")
+    assert seen_g0.count() <= seen_now.count()
+    # the as-of seen set equals the g0 snapshot exactly
+    assert {r.pid for r in seen_g0.collect()} == {
+        r.pid
+        for r in wh.spark.read.parquet(
+            str(wh.root / "url_seen" / f"gen={g0}")
+        ).collect()
+    }
