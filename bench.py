@@ -249,7 +249,7 @@ def main() -> None:
     for cores, r in results.items():
         r["all_walls_s"] = walls[cores]
     scaling["levels"] = {str(c): results[c] for c in run_levels}
-    if DO_SCALING:
+    if DO_SCALING and len(levels) >= 2:
         for a, b in zip(levels, levels[1:]):
             sp = results[b]["urls_per_s"] / results[a]["urls_per_s"]
             scaling[f"efficiency_{a}_to_{b}"] = round(sp / (b / a), 3)
