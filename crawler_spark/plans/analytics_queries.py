@@ -940,6 +940,55 @@ FROM media GROUP BY kind
 """
 
 
+def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows over the event stream (F.window — the same
+    construct the streaming path uses with a watermark): per (window,
+    event_type) counts and value sums."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    w = e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("value").cast("double"), 2).alias("total_value"),
+    )
+    return w.select(
+        F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+SQL_EVENTS_TUMBLING_WINDOW = """
+SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start_ms,
+       event_type, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(value) AS DOUBLE), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event_type (Spark `percentile` ==
+    DuckDB `quantile_cont`, both type-7 linear interpolation)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.round(F.min("value"), 4).alias("vmin"),
+        F.round(F.max("value"), 4).alias("vmax"),
+    )
+
+
+SQL_EVENTS_QUANTILES = """
+SELECT event_type,
+       round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS p50,
+       round(CAST(quantile_cont(value, 0.95) AS DOUBLE), 4) AS p95,
+       round(CAST(min(value) AS DOUBLE), 4) AS vmin,
+       round(CAST(max(value) AS DOUBLE), 4) AS vmax
+FROM events GROUP BY event_type
+"""
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship pipeline composition: the full curation pass a training-data
     corpus gets — exact-dedup keep (drop non-canonical copies) → quality
@@ -1030,4 +1079,6 @@ ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "pack_token_shards": (q_pack_token_shards, SQL_PACK_TOKEN_SHARDS),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
+    "events_tumbling_window": (q_events_tumbling_window, SQL_EVENTS_TUMBLING_WINDOW),
+    "events_quantiles": (q_events_quantiles, SQL_EVENTS_QUANTILES),
 }
