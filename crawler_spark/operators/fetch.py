@@ -73,7 +73,7 @@ class MappingFetcher:
         body = self.pages.get(url)
         if body is None:
             return "error", 404, 1, None
-        return "ok", 200, attempt, body.encode()
+        return "ok", 200, attempt, body if isinstance(body, bytes) else body.encode()
 
     def simulated(self) -> bool:
         return True
