@@ -27,18 +27,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2 (+ pipeline ops)."""
+    """One entry per implemented operator from SURVEY.md §2 (+ pipeline ops).
+
+    Both registries are load-bearing — an import failure must surface here,
+    not silently shrink the query surface.
+    """
+    from crawler_spark.plans.analytics_queries import ANALYTICS_QUERIES
     from crawler_spark.plans.oracle_queries import CRAWL_QUERIES
 
-    regs = [CRAWL_QUERIES]
-    try:
-        from crawler_spark.plans.analytics_queries import ANALYTICS_QUERIES
-
-        regs.append(ANALYTICS_QUERIES)
-    except ImportError:
-        pass
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for reg in regs:
+    for reg in (CRAWL_QUERIES, ANALYTICS_QUERIES):
         for name, (fn, _sql) in reg.items():
             out[name] = fn
     return out
@@ -46,17 +44,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL for each queries() key (omitted ⇒ rows-only)."""
+    from crawler_spark.plans.analytics_queries import ANALYTICS_QUERIES
     from crawler_spark.plans.oracle_queries import CRAWL_QUERIES
 
-    regs = [CRAWL_QUERIES]
-    try:
-        from crawler_spark.plans.analytics_queries import ANALYTICS_QUERIES
-
-        regs.append(ANALYTICS_QUERIES)
-    except ImportError:
-        pass
     out: dict[str, str] = {}
-    for reg in regs:
+    for reg in (CRAWL_QUERIES, ANALYTICS_QUERIES):
         for name, (_fn, sql) in reg.items():
             if sql is not None:
                 out[name] = sql
