@@ -733,7 +733,12 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_events"),
         F.unix_millis(F.min("ts")).alias("start_ms"),
         F.unix_millis(F.max("ts")).alias("end_ms"),
-        F.round(F.sum("value").cast("double"), 4).alias("total_value"),
+        # Sum in DECIMAL so the result is independent of partial-agg order
+        # (a DOUBLE sum varies ~1e-12 with task scheduling, which can flip
+        # the 4th-decimal rounding and the oracle hash).
+        F.round(
+            F.sum(F.col("value").cast("decimal(20,6)")).cast("double"), 4
+        ).alias("total_value"),
     )
 
 
@@ -750,7 +755,7 @@ s AS (
   FROM g)
 SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
        epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms,
-       round(CAST(sum(value) AS DOUBLE), 4) AS total_value
+       round(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE), 4) AS total_value
 FROM s GROUP BY user_id, session_idx
 """
 
@@ -949,7 +954,10 @@ def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
         F.count("*").cast("long").alias("n"),
-        F.round(F.sum("value").cast("double"), 2).alias("total_value"),
+        # DECIMAL sum: order-independent regardless of partial-agg schedule.
+        F.round(
+            F.sum(F.col("value").cast("decimal(20,6)")).cast("double"), 2
+        ).alias("total_value"),
     )
     return w.select(
         F.unix_millis(F.col("w.start")).alias("window_start_ms"),
@@ -962,7 +970,7 @@ def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_EVENTS_TUMBLING_WINDOW = """
 SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start_ms,
        event_type, CAST(count(*) AS BIGINT) AS n,
-       round(CAST(sum(value) AS DOUBLE), 2) AS total_value
+       round(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE), 2) AS total_value
 FROM events GROUP BY 1, 2
 """
 
