@@ -104,7 +104,12 @@ def exploded_shingles(
 
 
 def minhash_signatures(
-    docs: DataFrame, num_perm: int = 16, k: int = 3, text_col: str = "text"
+    docs: DataFrame,
+    num_perm: int = 16,
+    k: int = 3,
+    text_col: str = "text",
+    broadcast_hashes: bool | None = None,
+    broadcast_cap_bytes: int = 256 << 20,
 ) -> DataFrame:
     """Per-doc minhash signature: s_i = min over shingles of md5(i ‖ ':' ‖ sh).
 
@@ -133,9 +138,22 @@ def minhash_signatures(
         ],
     )
     # explode-inflated size estimates push Catalyst to sort-merge here even
-    # when the distinct-hash table is tiny; broadcast explicitly (distinct
-    # shingle count ≪ occurrence count whenever text repeats shingles)
-    joined = sh.join(F.broadcast(hashes), "shingle")
+    # when the distinct-hash table is tiny, so the hint must be explicit —
+    # but an UNCONDITIONAL broadcast OOMs executors once the distinct-shingle
+    # table outgrows memory (at 100-TB corpora it is many GB).  Gate it: one
+    # cheap HLL pass over the already-persisted shingles estimates the
+    # broadcast payload (shingle + num_perm hex digests per row); above the
+    # cap we leave the join unhinted and it degrades to a shuffle join.
+    if broadcast_hashes is None:
+        est = sh.agg(
+            F.approx_count_distinct("shingle").alias("n"),
+            F.avg(F.length("shingle")).alias("w"),
+        ).first()
+        row_bytes = (est.w or 0.0) + 33 * num_perm + 48
+        broadcast_hashes = (est.n or 0) * row_bytes <= broadcast_cap_bytes
+    joined = sh.join(
+        F.broadcast(hashes) if broadcast_hashes else hashes, "shingle"
+    )
     sig = joined.groupBy("doc_id").agg(
         *[F.min(f"h{i}").alias(f"s{i}") for i in range(num_perm)]
     )

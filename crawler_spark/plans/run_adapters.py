@@ -108,17 +108,27 @@ def run_generation(
         seed=f"ag{generation}",
     ).cache()
 
-    # 3. problem fetch + per-kind normalize
-    prob_rows = [
-        (r.judge, AW.JUDGES[r.judge][1], r.pid,
-         AW.problem_url(r.judge, r.pid))
-        for r in batch.collect()
-    ]
+    # 3. problem fetch + per-kind normalize.  The frontier is built
+    # relationally — a broadcast join of the selected batch against a tiny
+    # (judge → host, url-template) frame, url derived with replace() — so no
+    # row ever crosses the driver between selection and commit (the same
+    # shape plans/run.py uses; a .collect() here would bottleneck the driver
+    # as limit grows).
+    tmpl = spark.createDataFrame(
+        [(j, AW.JUDGES[j][1], AW.problem_url(j, "%s")) for j in AW.JUDGES],
+        "judge string, host string, url_tmpl string",
+    )
     problems = None
-    if prob_rows:
-        pf = spark.createDataFrame(
-            prob_rows, "judge string, host string, pid string, url string"
-        ).withColumn("generation", F.lit(generation))
+    if not batch.isEmpty():
+        pf = (
+            batch.select("judge", "pid")
+            .join(F.broadcast(tmpl), "judge")
+            .select(
+                "judge", "host", "pid",
+                F.expr("replace(url_tmpl, '%s', pid)").alias("url"),
+            )
+            .withColumn("generation", F.lit(generation))
+        )
         pres = fetch_stage(pf, fetcher, num_buckets=4).cache()
         parts = []
         for judge in AW.JUDGES:

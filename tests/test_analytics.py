@@ -76,6 +76,46 @@ def test_minhash_est_tracks_exact_jaccard(spark):
         assert exact.get((a, b), 0.0) >= 0.25, (a, b, est)
 
 
+def test_minhash_broadcast_gate_fallback(spark):
+    """The distinct-shingle hash-table broadcast is gated: forcing the
+    fallback must produce byte-identical signatures through a NON-broadcast
+    join plan (the shape the gate degrades to when the table outgrows the
+    cap at real corpus scale)."""
+    from crawler_spark.operators.dedup import minhash_signatures
+
+    corpus = _corpus(spark)
+    bc = minhash_signatures(corpus, num_perm=8, broadcast_hashes=True)
+    ref = sorted(map(tuple, bc.drop("sig").collect()))
+    # simulate "hash table over threshold": with auto-broadcast off, the
+    # unhinted join must plan (and execute) as a shuffle join
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        for k in saved:
+            spark.conf.set(k, "-1")
+        nb = minhash_signatures(corpus, num_perm=8, broadcast_hashes=False)
+        plan = nb._sc._jvm.PythonSQLUtils.explainString(
+            nb._jdf.queryExecution(), "formatted"
+        )
+        assert "BroadcastHashJoin" not in plan
+        assert sorted(map(tuple, nb.drop("sig").collect())) == ref
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+    # a tiny corpus must auto-choose broadcast (the estimate path)
+    auto = minhash_signatures(corpus, num_perm=8)
+    aplan = auto._sc._jvm.PythonSQLUtils.explainString(
+        auto._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in aplan
+
+
 def test_simhash_exact_copies_distance_zero(spark):
     from crawler_spark.operators.dedup import simhash
 
