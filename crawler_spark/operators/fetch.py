@@ -119,6 +119,25 @@ class SessionFetcher:
 
 
 @dataclass
+class HostRoutingFetcher:
+    """Route fetches by host: authenticated sources (bzoj) go through their
+    SessionFetcher, everything else through the default fetcher.  One
+    fetch_stage serves a mixed multi-judge frontier; each worker logs in at
+    most once per session-routed host (the token caches inside the
+    SessionFetcher instance pickled to the task)."""
+
+    routes: dict  # host → fetcher
+    default: object
+
+    def fetch(self, url: str, generation: int) -> tuple[str, int, int, bytes | None]:
+        host = url.split("://", 1)[-1].split("/", 1)[0]
+        return self.routes.get(host, self.default).fetch(url, generation)
+
+    def simulated(self) -> bool:
+        return self.default.simulated()
+
+
+@dataclass
 class HttpFetcher:
     """Real-network fetcher (stdlib urllib), same envelope as SafeGet
     (tools.go:54-77): sleep-before-request, retry ×3, UA header."""

@@ -21,11 +21,18 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from crawler_spark.operators.fetch import MappingFetcher, fetch_stage
+from crawler_spark.operators.fetch import (
+    HostRoutingFetcher,
+    MappingFetcher,
+    SessionFetcher,
+    fetch_stage,
+)
 from crawler_spark.operators.frontier import select_generation
 from crawler_spark.operators.images import dedupe_assets, extract_image_links
 from crawler_spark.sources import adapterweb as AW
 from crawler_spark.sources.adapters import (
+    parse_bzoj_listing,
+    parse_bzoj_problem,
     parse_joyoi_listing,
     parse_joyoi_problem,
     parse_lutece_listing,
@@ -42,6 +49,7 @@ _LISTING_PARSERS = {
     "html": lambda df: parse_uoj_listing(df),
     # syzoj's listing page is an HTML table too — same parser family
     "json": lambda df: parse_uoj_listing(df),
+    "bzoj": lambda df: parse_bzoj_listing(df),
 }
 
 
@@ -56,8 +64,22 @@ def _parse_problem(judge: str, bodies: DataFrame) -> DataFrame:
     if kind == "rest":
         out = parse_joyoi_problem(bodies, src="Local", samples_col=None)
         return out.withColumn("judge_type", F.lit(None).cast("string"))
+    if kind == "bzoj":
+        return parse_bzoj_problem(bodies)
     out = parse_uoj_problem(bodies)
     return out
+
+
+def _build_fetcher(web: AW.AdapterWeb):
+    """MappingFetcher over the page universe; hosts behind a login (S11 —
+    bzoj) are routed through a SessionFetcher that performs the cookie-jar
+    exchange once per worker (bzoj.go:38-68)."""
+    base = MappingFetcher(web.pages)
+    routes = {
+        AW.JUDGES[j][1]: SessionFetcher(base, login)
+        for j, login in AW.LOGIN_URLS.items()
+    }
+    return HostRoutingFetcher(routes, base) if routes else base
 
 
 def run_generation(
@@ -68,7 +90,7 @@ def run_generation(
     limit: int = 4,
 ) -> dict:
     t0 = time.time()
-    fetcher = MappingFetcher(web.pages)
+    fetcher = _build_fetcher(web)
 
     # 1. listing fetch + per-kind parse
     listing_rows = [

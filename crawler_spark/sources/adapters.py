@@ -502,15 +502,137 @@ def parse_uoj_problem(
     )
 
 
+# ---------------------------------------------------------------------------
+# BZOJ — the authenticated HTML adapter (bzoj.go).  Listing: paginator max
+# from the NBSP-joined <h3> page list (bzoj.go:105-125) + .evenrow/.oddrow
+# table rows (bzoj.go:135-155); problem: 7 .content sections templated into
+# English markdown headings (bzoj.go:195-224), limits from the text node
+# after the 'Time Limit:'/'Memory Limit:' spans (bzoj.go:178-186 — the Go
+# addresses them as center:nth-child(pos) > span:nth-child(2|3) with pos
+# shifted 3→4 when a class="notice" banner is present; keying on the label
+# text is position-independent and matches both layouts), judge type from
+# span.red presence (bzoj.go:187-191).  Fetch goes through SessionFetcher
+# (S11 — cookie-jar login POST, bzoj.go:38-68).
+# ---------------------------------------------------------------------------
+
+BZOJ_TEMPLATE = (
+    "\n# Description\n\n%s\n\n# Input\n\n%s\n\n# Output\n\n%s\n\n"
+    "# Sample Input\n\n%s\n\n# Sample Output\n\n%s\n\n# Hint\n\n%s\n\n"
+    "# Source\n\n%s\n\n"
+)
+
+BZOJ_LIST_SCHEMA = "max_page int, pid string, title string"
+
+
+def parse_bzoj_listing(df: DataFrame, body_col: str = "body") -> DataFrame:
+    """BZOJ listing page → (max_page, pid, title) rows.
+
+    max_page: the <h3> paginator joins page numbers with NBSP (rune 160);
+    the Go splits on it and maxes the parseable ints (bzoj.go:110-125) —
+    here both the literal NBSP and its ``&nbsp;`` entity split.  Rows: the
+    pid is the 2nd <td> of each .evenrow/.oddrow <tr> and the title the
+    text of the following <td>'s <a> (bzoj.go:141-154's FirstChild walk
+    over bzoj's whitespace-free markup).
+    """
+    import re as _re
+
+    import pandas as pd  # noqa: F811
+
+    h3_re = _re.compile(r"<h3[^>]*>(.*?)</h3>", _re.S)
+    row_re = _re.compile(
+        r"<tr[^>]*class=['\"]?(?:evenrow|oddrow)['\"]?[^>]*>\s*"
+        r"<td[^>]*>.*?</td>\s*<td[^>]*>\s*([^<]*?)\s*</td>\s*"
+        r"<td[^>]*>\s*<a[^>]*>(.*?)</a>",
+        _re.S,
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out = {"max_page": [], "pid": [], "title": []}
+            for body in pdf[body_col]:
+                m = h3_re.search(body or "")
+                max_page = 0
+                if m:
+                    for tok in _re.split(
+                        "\xa0|&nbsp;", _re.sub(r"<[^>]+>", "", m.group(1))
+                    ):
+                        try:
+                            max_page = max(max_page, int(tok))
+                        except ValueError:
+                            continue
+                for r in row_re.finditer(body or ""):
+                    out["max_page"].append(max_page)
+                    out["pid"].append(r.group(1))
+                    out["title"].append(r.group(2))
+            yield pd.DataFrame(out)
+
+    return df.select(body_col).mapInPandas(run, BZOJ_LIST_SCHEMA)
+
+
+def _bzoj_limit(body_col: str, label: str) -> Column:
+    """First space-token of the text node following the '<label>: </span>'
+    span, as int; non-numeric → 0 (bzoj.go:178-186's Atoi-error fallback)."""
+    raw = F.regexp_extract(
+        F.col(body_col), label + r":\s*</span>([^<]*)", 1
+    )
+    tok = F.regexp_extract(raw, r"^([^ ]+)", 1)
+    return F.when(tok.rlike(r"^\d+$"), tok.cast("int")).otherwise(F.lit(0))
+
+
+def parse_bzoj_problem(
+    df: DataFrame, body_col: str = "body", pid_col: str = "pid"
+) -> DataFrame:
+    """BZOJ statement → canonical columns (bzoj.go:160-229): the first 7
+    <div class="content"> sections fill the English-heading template (pages
+    with fewer sections get a NULL description — the Go error path that
+    drops the problem), time s→ms, memory MB, judge type by span.red,
+    '<p>\\s*'→'<p>' + '<br>\\n'→'<br>' cleanup, description_type 'html'."""
+    from crawler_spark.functions.text import bzoj_html_cleanup
+
+    secs = F.regexp_extract_all(
+        F.col(body_col),
+        F.lit(r'(?s)<div class="content">(.*?)</div>'),
+        1,
+    )
+    df = df.withColumn("__secs", secs)
+    desc = F.format_string(
+        BZOJ_TEMPLATE, *[F.col("__secs")[i] for i in range(7)]
+    )
+    desc = F.when(F.size("__secs") >= 7, bzoj_html_cleanup(desc)).otherwise(
+        F.lit(None).cast("string")
+    )
+    time_ms = _bzoj_limit(body_col, "Time Limit") * 1000
+    memory_mb = _bzoj_limit(body_col, "Memory Limit")
+    judge = F.when(
+        F.col(body_col).rlike(r"<span[^>]*class=[\"']?red"),
+        F.lit("传统 Special Judge"),
+    ).otherwise(F.lit("传统"))
+    return df.select(
+        F.col(pid_col).alias("pid"),
+        time_ms.alias("time_ms"),
+        memory_mb.alias("memory_mb"),
+        judge.alias("judge_type"),
+        F.concat(
+            F.lit("https://lydsy.com/JudgeOnline/problem.php?id="),
+            F.col(pid_col),
+        ).alias("url"),
+        desc.alias("description"),
+        F.lit("html").alias("description_type"),
+    )
+
+
 @dataclass(frozen=True)
 class Adapter:
     """§2.8 — the pluggable-source contract: listing parser + problem
-    parser, both (DataFrame, …) → DataFrame with fixed output columns."""
+    parser, both (DataFrame, …) → DataFrame with fixed output columns.
+    ``login`` marks sources whose fetches must run through a
+    SessionFetcher (S11)."""
 
     name: str
     parse_listing: Callable[..., DataFrame]
     parse_problem: Callable[..., DataFrame]
-    kind: str  # 'json' | 'graphql' | 'rest'
+    kind: str  # 'json' | 'graphql' | 'rest' | 'html'
+    login: bool = False
 
 
 ADAPTERS: dict[str, Adapter] = {
@@ -519,4 +641,6 @@ ADAPTERS: dict[str, Adapter] = {
                       "graphql"),
     "joyoi": Adapter("joyoi", parse_joyoi_listing, parse_joyoi_problem, "rest"),
     "uoj": Adapter("uoj", parse_uoj_listing, parse_uoj_problem, "html"),
+    "bzoj": Adapter("bzoj", parse_bzoj_listing, parse_bzoj_problem, "html",
+                    login=True),
 }

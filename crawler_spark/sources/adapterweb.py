@@ -24,7 +24,14 @@ JUDGES = {
     "lut": ("graphql", "lut.test"),
     "joy": ("rest", "joy.test"),
     "uoj": ("html", "uoj.test"),
+    "bzoj": ("bzoj", "bzoj.test"),
 }
+
+# S11 — judges whose pages sit behind a login exchange (bzoj.go:38-68).
+# The AdapterWeb serves the session token at the login url and keys every
+# protected page as url‖'␁'‖token — the SessionFetcher protocol.
+LOGIN_URLS = {"bzoj": "http://bzoj.test/login.php"}
+_TOKENS = {"bzoj": "sess-bzoj-7f3a"}
 
 
 def listing_url(judge: str) -> str:
@@ -34,6 +41,7 @@ def listing_url(judge: str) -> str:
         "lut": f"http://{host}/graphql:list-1",
         "joy": f"http://{host}/api/problem/all?page=1",
         "uoj": f"http://{host}/problems?page=1",
+        "bzoj": f"http://{host}/problemset.php?page=1",
     }[judge]
 
 
@@ -44,6 +52,7 @@ def problem_url(judge: str, pid: str) -> str:
         "lut": f"http://{host}/graphql:p-{pid}",
         "joy": f"http://{host}/api/problem/{pid}",
         "uoj": f"http://{host}/problem/{pid}",
+        "bzoj": f"http://{host}/problem.php?id={pid}",
     }[judge]
 
 
@@ -67,18 +76,47 @@ class AdapterWeb:
 
     def __post_init__(self) -> None:
         for judge, (kind, host) in JUDGES.items():
+            key = self._page_key(judge)
+            if judge in LOGIN_URLS:
+                self.pages[LOGIN_URLS[judge]] = _TOKENS[judge]
             pids = [f"{judge}{i}" for i in range(1, self.n_pids + 1)]
-            self.pages[listing_url(judge)] = self._listing_body(judge, pids)
+            self.pages[key(listing_url(judge))] = self._listing_body(
+                judge, pids
+            )
             for pid in pids:
-                self.pages[problem_url(judge, pid)] = self._problem_body(
+                self.pages[key(problem_url(judge, pid))] = self._problem_body(
                     judge, pid
                 )
-                self.pages[image_url(judge, pid)] = _png(judge, pid)
+                self.pages[key(image_url(judge, pid))] = _png(judge, pid)
+
+    @staticmethod
+    def _page_key(judge: str):
+        """Protected judges' pages are keyed url‖'␁'‖token (the
+        SessionFetcher wire protocol); public judges' by plain url."""
+        if judge in LOGIN_URLS:
+            tok = _TOKENS[judge]
+            return lambda u: f"{u}\x01{tok}"
+        return lambda u: u
 
     # -- page bodies ---------------------------------------------------------
 
     def _listing_body(self, judge: str, pids: list[str]) -> str:
         kind = JUDGES[judge][0]
+        if kind == "bzoj":
+            # bzoj problemset.php: NBSP-joined page numbers in the <h3>
+            # paginator (bzoj.go:110-125), alternating even/odd rows whose
+            # 2nd td is the pid and 3rd holds the title <a> (bzoj.go:141-154)
+            rows = "".join(
+                f"<tr align=center class='{'evenrow' if i % 2 == 0 else 'oddrow'}'>"
+                f"<td><img src='ok.gif'></td><td>{p}</td>"
+                f"<td><a href='problem.php?id={p}'>T-{p}</a></td>"
+                f"<td>0</td></tr>"
+                for i, p in enumerate(pids)
+            )
+            return (
+                "<html><body><h3>1&nbsp;1</h3>"
+                f"<table align=center>{rows}</table></body></html>"
+            )
         if kind == "graphql":
             return json.dumps(
                 {
@@ -125,6 +163,29 @@ class AdapterWeb:
     def _problem_body(self, judge: str, pid: str) -> str:
         kind = JUDGES[judge][0]
         img = image_url(judge, pid)
+        if kind == "bzoj":
+            # bzoj problem.php: limits as text nodes after the green label
+            # spans, span.red marks Special Judge, 7 .content sections; the
+            # '<p>\n' in the description exercises the bzoj.go:225-227
+            # cleanup regexes.  Pids ending in an even digit get a notice
+            # banner (shifts the Go's nth-child pos 3→4) + span.red.
+            even = int(pid[-1]) % 2 == 0
+            notice = "<div class='notice'>maintenance</div>" if even else ""
+            red = "<span class=red>Special Judge</span>" if even else ""
+            return (
+                f"<html><body>{notice}<center><h2>{pid}</h2>"
+                "<span class=green>Time Limit: </span>10 Sec&nbsp;&nbsp;"
+                "<span class=green>Memory Limit: </span>162 MB"
+                f"{red}</center>"
+                f'<div class="content"><p>\n  desc <img src="{img}"></p></div>'
+                '<div class="content">in</div>'
+                '<div class="content">out</div>'
+                '<div class="content">sin</div>'
+                '<div class="content">sout</div>'
+                '<div class="content">hint<br>\nmore</div>'
+                '<div class="content">src</div>'
+                "</body></html>"
+            )
         if kind == "json":  # syzoj export
             return json.dumps(
                 {

@@ -168,6 +168,72 @@ def test_joyoi_listing_filter_and_problem(spark):
     assert row2.description_type == "html_final"
 
 
+def test_bzoj_listing_and_problem(spark):
+    from crawler_spark.sources.adapters import (
+        BZOJ_TEMPLATE,
+        parse_bzoj_listing,
+        parse_bzoj_problem,
+    )
+
+    # listing: NBSP-joined paginator (entity AND literal rune 160 forms,
+    # bzoj.go:110-125), evenrow/oddrow rows (bzoj.go:135-155)
+    page = (
+        "<html><body><h3>1&nbsp;2\xa07</h3><table align=center>"
+        "<tr align=center class='evenrow'><td><img src='ok.gif'></td>"
+        "<td>1000</td><td><a href='problem.php?id=1000'>A+B Problem</a></td>"
+        "<td>9237</td></tr>"
+        "<tr align=center class='oddrow'><td></td>"
+        "<td>1001</td><td><a href='problem.php?id=1001'>[BeiJing2006]狼抓兔子</a></td>"
+        "<td>3000</td></tr>"
+        "</table></body></html>"
+    )
+    ldf = spark.createDataFrame([(page,)], "body string")
+    got = {(r.pid, r.title, r.max_page) for r in parse_bzoj_listing(ldf).collect()}
+    assert got == {
+        ("1000", "A+B Problem", 7),
+        ("1001", "[BeiJing2006]狼抓兔子", 7),
+    }
+
+    def stmt(notice: bool, red: bool, nsec: int = 7) -> str:
+        secs = ["<p>\n  d1</p>", "in", "out", "sin", "sout",
+                "hint<br>\nmore", "src"][:nsec]
+        return (
+            "<html><body>"
+            + ("<div class='notice'>x</div>" if notice else "")
+            + "<center><h2>1000</h2>"
+            "<span class=green>Time Limit: </span>10 Sec&nbsp;&nbsp;"
+            "<span class=green>Memory Limit: </span>162 MB"
+            + ("<span class=red>Special Judge</span>" if red else "")
+            + "</center>"
+            + "".join(f'<div class="content">{s}</div>' for s in secs)
+            + "</body></html>"
+        )
+
+    pdf = spark.createDataFrame(
+        [("1000", stmt(False, False)), ("1001", stmt(True, True)),
+         ("1002", stmt(False, False, nsec=5))],
+        "pid string, body string",
+    )
+    rows = {r.pid: r for r in parse_bzoj_problem(pdf).collect()}
+    r = rows["1000"]
+    assert r.time_ms == 10000 and r.memory_mb == 162  # bzoj.go:178-186
+    assert r.judge_type == "传统"
+    assert r.url == "https://lydsy.com/JudgeOnline/problem.php?id=1000"
+    assert r.description_type == "html"
+    # exact 7-section template + the two cleanup regexes (bzoj.go:195-227):
+    # '<p>\s*'→'<p>' and '<br>\n'→'<br>'
+    want = BZOJ_TEMPLATE % ("<p>d1</p>", "in", "out", "sin", "sout",
+                            "hint<br>more", "src")
+    assert r.description == want
+    # notice banner (pos 3→4, bzoj.go:169-171) must not break limits;
+    # span.red → Special Judge (bzoj.go:187-191)
+    r2 = rows["1001"]
+    assert r2.time_ms == 10000 and r2.memory_mb == 162
+    assert r2.judge_type == "传统 Special Judge"
+    # <7 content sections: the Go error path — description NULL
+    assert rows["1002"].description is None
+
+
 def test_uoj_listing_and_problem(spark):
     from crawler_spark.sources.adapters import parse_uoj_listing, parse_uoj_problem
 
