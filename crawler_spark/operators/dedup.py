@@ -413,6 +413,88 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    pairs: DataFrame, max_iter: int = 12
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the deep-chain escape hatch :func:`connected_components`'s docstring
+    promises: min-label propagation needs O(diameter) rounds, this
+    converges in O(log² n) rounds regardless of chain depth, so a
+    pathological duplicate chain (A~B~C~…) costs ~8 rounds instead of
+    thousands.  Same output contract: (doc_id, cluster_id=min reachable
+    doc_id).  Each phase is one shuffle over the current edge list;
+    localCheckpoint per round keeps the plan shallow.
+    """
+    from pyspark import StorageLevel
+
+    def sym(e: DataFrame) -> DataFrame:
+        return e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # for each u: m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u
+        nbrs = sym(e)
+        mins = nbrs.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            nbrs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # orient u > v; for each u: m = min(N(u) ∪ {u}) = min(v);
+        # emit (x, m) for x ∈ N(u) ∪ {u}, x ≠ m
+        o = (
+            e.select(
+                F.greatest("u", "v").alias("gu"), F.least("u", "v").alias("gv")
+            )
+            .filter(F.col("gu") != F.col("gv"))
+            .select(F.col("gu").alias("u"), F.col("gv").alias("v"))
+            .distinct()
+        )
+        mins = o.groupBy("u").agg(F.min("v").alias("m"))
+        from_nbrs = (
+            o.join(mins, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        from_centers = mins.select(F.col("u"), F.col("m").alias("v"))
+        return from_nbrs.unionByName(from_centers).distinct()
+
+    edges = (
+        pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes = sym(edges).select(F.col("u").alias("doc_id")).distinct()
+    cur = edges
+    for _ in range(max_iter):
+        nxt = small_star(large_star(cur)).localCheckpoint(eager=True)
+        changed = (
+            nxt.exceptAll(cur).limit(1).count()
+            + cur.exceptAll(nxt).limit(1).count()
+        )
+        cur = nxt
+        if changed == 0:
+            break
+    # at the fixed point every edge is (node, component-min)
+    labels = cur.select(
+        F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
+    )
+    return (
+        nodes.join(labels, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------

@@ -431,3 +431,34 @@ def test_connected_components_match_union_find(spark):
     # cluster representative is the min member
     for doc, cl in got.items():
         assert cl <= doc
+
+    # the O(log² n) large-star/small-star variant must produce the same
+    # clustering on the same pairs
+    from crawler_spark.operators.dedup import connected_components_star
+
+    star = {
+        r.doc_id: r.cluster_id
+        for r in connected_components_star(pairs_df).collect()
+    }
+    assert star == want
+
+
+def test_connected_components_star_deep_chain(spark):
+    """A 120-node path (+ a disjoint triangle + an isolated pair): diameter
+    120 would need 120 min-label rounds; the star variant converges inside
+    its default 12-round budget and still labels every node with the
+    component min."""
+    from crawler_spark.operators.dedup import connected_components_star
+
+    chain = [(i, i + 1) for i in range(100, 220)]
+    extra = [(500, 501), (501, 502), (500, 502), (900, 901)]
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in chain + extra], "a_id long, b_id long"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components_star(pairs).collect()
+    }
+    want = {i: 100 for i in range(100, 221)}
+    want.update({500: 500, 501: 500, 502: 500, 900: 900, 901: 900})
+    assert got == want
