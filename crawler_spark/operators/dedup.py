@@ -472,17 +472,34 @@ def connected_components_star(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    nodes = sym(edges).select(F.col("u").alias("doc_id")).distinct()
+    # checkpointed so the final join's plan scans a materialized node set
+    # instead of re-deriving the whole candidate-pair lineage
+    nodes = (
+        sym(edges)
+        .select(F.col("u").alias("doc_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def signature(e: DataFrame) -> tuple:
+        # one cheap agg instead of two exceptAll shuffles: the edge set is
+        # stable iff (count, XOR of xxhash64(u,v)) is stable (bit_xor never
+        # overflows under ANSI and is order-independent; an exact XOR
+        # collision across rounds is ~2^-64 — ignored)
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).first()
+        return (row.n, row.h)
+
     cur = edges
+    prev_sig = None
     for _ in range(max_iter):
-        nxt = small_star(large_star(cur)).localCheckpoint(eager=True)
-        changed = (
-            nxt.exceptAll(cur).limit(1).count()
-            + cur.exceptAll(nxt).limit(1).count()
-        )
-        cur = nxt
-        if changed == 0:
+        cur = small_star(large_star(cur)).localCheckpoint(eager=True)
+        sig = signature(cur)
+        if sig == prev_sig:
             break
+        prev_sig = sig
     # at the fixed point every edge is (node, component-min)
     labels = cur.select(
         F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")

@@ -300,6 +300,20 @@ GROUP BY n.doc_id
 """
 
 
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering contract as dedup_clusters, computed with the
+    O(log² n) alternating large-star/small-star algorithm — the deep-chain
+    scale path.  Checked against the SAME recursive-CTE oracle: both
+    algorithms must label every node with its component minimum."""
+    sig = DD.minhash_signatures(_corpus(spark, sf_dir), num_perm=16)
+    pairs = DD.lsh_candidate_pairs(sig, num_perm=16, bands=4, min_est_jaccard=0.5)
+    cc = DD.connected_components_star(pairs)
+    return cc.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = DD.ngram_jaccard_pairs(
         _corpus(spark, sf_dir), k=3, min_jaccard=0.6, block_col="source"
@@ -1169,6 +1183,7 @@ ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "dedup_clusters_star": (q_dedup_clusters_star, SQL_DEDUP_CLUSTERS),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING),
     "ann_bruteforce_topk": (q_ann_bruteforce, SQL_ANN_BRUTEFORCE),
     "ann_lsh_bucketed": (q_ann_lsh, SQL_ANN_LSH),

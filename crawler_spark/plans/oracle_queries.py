@@ -130,6 +130,25 @@ FROM ranked WHERE is_due OR crawl_seq <= 10
 """
 
 
+def q_frontier_generation_subpart(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The at-scale selection path: identical semantics to
+    frontier_generation but computed through the (judge, pid-bucket)
+    pre-pruned window (select_generation(subpartitions=8)) — checked
+    against the SAME single-window oracle SQL, proving the bucketed
+    two-phase plan is output-equivalent."""
+    out = FR.select_generation(
+        _listing(spark, sf_dir), _seen(spark, sf_dir), limit=10, seed="r1",
+        subpartitions=8,
+    )
+    return out.select(
+        "judge", "pid", "title",
+        F.col("is_due").cast("int").alias("is_due"),
+        F.col("crawl_seq").cast("int").alias("crawl_seq"),
+    )
+
+
 def q_j1_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 not-seen half: listing rows whose (judge,pid) is absent from seen."""
     listing = _listing(spark, sf_dir)
@@ -889,6 +908,10 @@ FROM gen GROUP BY judge
 
 CRAWL_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "frontier_generation": (q_frontier_generation, SQL_FRONTIER_GENERATION),
+    "frontier_generation_subpart": (
+        q_frontier_generation_subpart,
+        SQL_FRONTIER_GENERATION,
+    ),
     "j1_seen_antijoin": (q_j1_seen_antijoin, SQL_J1_SEEN_ANTIJOIN),
     "j1_due_or_changed": (q_j1_due_or_changed, SQL_J1_DUE_OR_CHANGED),
     "j3_chosen_semijoin": (q_j3_chosen_semijoin, SQL_J3_CHOSEN_SEMIJOIN),
