@@ -872,6 +872,39 @@ FROM s GROUP BY user_id, session_idx
 """
 
 
+def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (F.session_window) in batch mode — the same
+    operator streaming/sessions.py runs with a watermark on a stream.  The
+    oracle mirrors Spark's merge-on-TOUCH boundary (an event arriving
+    exactly gap after the previous one still merges; only strictly-greater
+    gaps split — pinned by tests/test_streaming.py)."""
+    from crawler_spark.streaming.sessions import session_stats
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return session_stats(e, gap="30 minutes")
+
+
+SQL_EVENTS_SESSION_WINDOW = """
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)) AS gap_ms
+  FROM events),
+s AS (
+  SELECT user_id, ts, value,
+         sum(CASE WHEN gap_ms IS NULL OR gap_ms > 1800000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_idx
+  FROM g)
+SELECT user_id, epoch_ms(min(ts)) AS start_ms,
+       epoch_ms(max(ts)) + 1800000 AS end_ms,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE), 4) AS total_value
+FROM s GROUP BY user_id, session_idx
+"""
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling for a training mix: per-language
     keep-rates applied via a seeded md5 coin (byte value < rate·256/100) —
@@ -1202,5 +1235,6 @@ ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
     "events_tumbling_window": (q_events_tumbling_window, SQL_EVENTS_TUMBLING_WINDOW),
+    "events_session_window": (q_events_session_window, SQL_EVENTS_SESSION_WINDOW),
     "events_quantiles": (q_events_quantiles, SQL_EVENTS_QUANTILES),
 }

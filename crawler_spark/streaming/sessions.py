@@ -1,0 +1,64 @@
+"""Session-window rollups — the merge-on-overlap variant of sessionization.
+
+plans/analytics_queries.q_events_sessionize computes sessions batch-style
+(lag-gap + running sum); this module uses Spark's native
+``F.session_window`` instead, which works identically on batch AND
+streaming DataFrames — on a stream with a watermark, append mode emits each
+session exactly once, when the watermark passes its end (the standard
+late-data contract).  One operator, two execution modes; no reimplemented
+semantics.
+
+Boundary semantics: a session window spans ``[ts, last_ts + gap]`` for
+merging purposes — Spark merges sessions that TOUCH, so an event arriving
+exactly ``gap`` after the previous one still joins the session and only a
+strictly-greater gap splits (pinned by tests/test_streaming.py; the DuckDB
+oracle mirrors it with ``gap_ms > gap``).
+
+Scale: the aggregation state per live session is one row; with a watermark
+the state is bounded by (sessions active within the lateness horizon), not
+by history — the property that makes the stream restartable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def session_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str | None = None,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Per-(key, session) rollup over a batch or streaming events frame.
+
+    Returns (user_id, start_ms, end_ms, n_events, total_value) where
+    ``end_ms`` is the window end (last event + gap — the session_window
+    contract), and ``total_value`` sums in DECIMAL so the result is
+    independent of partial-agg order (the same determinism rule as the
+    batch sessionize).
+    """
+    e = events
+    if watermark is not None:
+        e = e.withWatermark(ts_col, watermark)
+    return (
+        e.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"),
+            F.col(key_col),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(20,6)")).cast("double"), 4
+            ).alias("total_value"),
+        )
+        .select(
+            key_col,
+            F.unix_millis(F.col("w.start")).alias("start_ms"),
+            F.unix_millis(F.col("w.end")).alias("end_ms"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -56,3 +56,79 @@ def test_streaming_ingest_dedupes_and_resumes(spark):
     assert row is None or row.sched_offset_ms >= 200
     canon = out2.select("canonical_url").first().canonical_url
     assert canon.startswith("http://host-") and "#" not in canon
+
+
+def test_streaming_session_windows_emit_on_watermark(spark):
+    """Native session windows on a stream: append mode emits a session only
+    once the watermark passes its end, merged across micro-batches, and the
+    rollup matches the batch session_stats over the same events."""
+    from crawler_spark.streaming.sessions import session_stats
+
+    root = Path(tempfile.mkdtemp(prefix="sess_stream_"))
+    inp, ckpt = root / "in", root / "ckpt"
+    inp.mkdir(parents=True)
+    schema = "user_id long, event_id long, ts timestamp, value double"
+
+    def write(name, rows):
+        with open(inp / name, "w") as f:
+            for uid, eid, ts, v in rows:
+                f.write(json.dumps(
+                    {"user_id": uid, "event_id": eid, "ts": ts, "value": v}
+                ) + "\n")
+
+    def run_trigger():
+        stream = spark.readStream.schema(schema).json(str(inp))
+        out = session_stats(stream, gap="30 minutes", watermark="10 minutes")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", str(root / "out"))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: user 1 has an exactly-30-min gap (merge-on-touch => SAME
+    # session) then a >30-min gap (split); user 2 one event
+    write("b1.json", [
+        (1, 1, "2026-01-01T00:00:00", 1.5),
+        (1, 2, "2026-01-01T00:10:00", 2.0),
+        (1, 3, "2026-01-01T00:40:00", 0.25),   # exactly gap after e2 → merges
+        (1, 4, "2026-01-01T01:40:00", 0.5),    # 60 min after e3 → new session
+        (2, 1, "2026-01-01T00:05:00", 4.0),
+    ])
+    run_trigger()
+    # batch 2: an event 10 h later pushes the watermark past every earlier
+    # session end AND a late-but-in-horizon event extends nothing
+    write("b2.json", [(3, 1, "2026-01-01T10:00:00", 9.0)])
+    run_trigger()
+
+    got = {
+        (r.user_id, r.start_ms, r.end_ms): (r.n_events, r.total_value)
+        for r in spark.read.parquet(str(root / "out")).collect()
+    }
+    day = 1767225600000  # 2026-01-01T00:00:00Z in epoch ms
+    m = 60_000
+    # session 1a: e1+e2+e3 (the exact-gap event MERGES — Spark's
+    # merge-on-touch), ends 00:40+gap; 1b: the 01:40 event; 2: one event.
+    # All finalized; user 3's session is still open (watermark hasn't
+    # passed 10:00+gap) so it must NOT be emitted
+    assert got == {
+        (1, day, day + 70 * m): (3, 3.75),
+        (1, day + 100 * m, day + 130 * m): (1, 0.5),
+        (2, day + 5 * m, day + 35 * m): (1, 4.0),
+    }
+
+    # batch parity: the same operator in batch mode over all closed events
+    batch = spark.createDataFrame(
+        [(1, 1, "2026-01-01 00:00:00", 1.5), (1, 2, "2026-01-01 00:10:00", 2.0),
+         (1, 3, "2026-01-01 00:40:00", 0.25), (1, 4, "2026-01-01 01:40:00", 0.5),
+         (2, 1, "2026-01-01 00:05:00", 4.0)],
+        "user_id long, event_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    bgot = {
+        (r.user_id, r.start_ms, r.end_ms): (r.n_events, r.total_value)
+        for r in session_stats(batch, gap="30 minutes").collect()
+    }
+    assert bgot == got
