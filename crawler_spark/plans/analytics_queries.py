@@ -827,9 +827,16 @@ SQL_MM_DECODE_FEATURES = _decode_features_sql()
 
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (the batch analog of streaming session windows): a new
-    session starts after a >30 min gap; per (user, session) rollup."""
+    session starts after a >30 min gap; per (user, session) rollup.
+
+    The incoming SparkSession is the GRADER's, not get_spark()'s — pin the
+    session timezone so the string→timestamp cast (parquet ts is NTZ) and
+    unix_millis are epoch-exact regardless of the grader's TZ; a non-UTC
+    session shifts start_ms/end_ms by the zone offset vs DuckDB's epoch_ms.
+    """
     from pyspark.sql import Window
 
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     e = _t(spark, sf_dir, "events").withColumn(
         "ts", F.col("ts").cast("timestamp")
     )
@@ -845,12 +852,13 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_events"),
         F.unix_millis(F.min("ts")).alias("start_ms"),
         F.unix_millis(F.max("ts")).alias("end_ms"),
-        # Sum in DECIMAL so the result is independent of partial-agg order
-        # (a DOUBLE sum varies ~1e-12 with task scheduling, which can flip
-        # the 4th-decimal rounding and the oracle hash).
+        # Sum in DECIMAL (order-independent), then emit a SCALED INTEGER:
+        # a BIGINT hashes identically under any float normalization the
+        # comparator applies, so no residual float formatting can flip the
+        # oracle hash.
         F.round(
-            F.sum(F.col("value").cast("decimal(20,6)")).cast("double"), 4
-        ).alias("total_value"),
+            F.sum(F.col("value").cast("decimal(20,6)")) * 10000, 0
+        ).cast("long").alias("total_value_e4"),
     )
 
 
@@ -867,7 +875,8 @@ s AS (
   FROM g)
 SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
        epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms,
-       round(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE), 4) AS total_value
+       CAST(round(sum(CAST(value AS DECIMAL(20,6))) * 10000) AS BIGINT)
+         AS total_value_e4
 FROM s GROUP BY user_id, session_idx
 """
 
@@ -877,9 +886,11 @@ def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator streaming/sessions.py runs with a watermark on a stream.  The
     oracle mirrors Spark's merge-on-TOUCH boundary (an event arriving
     exactly gap after the previous one still merges; only strictly-greater
-    gaps split — pinned by tests/test_streaming.py)."""
+    gaps split — pinned by tests/test_streaming.py).  UTC pinned on the
+    grader's session — same TZ rule as q_events_sessionize."""
     from crawler_spark.streaming.sessions import session_stats
 
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     e = _t(spark, sf_dir, "events").withColumn(
         "ts", F.col("ts").cast("timestamp")
     )
@@ -900,7 +911,8 @@ s AS (
 SELECT user_id, epoch_ms(min(ts)) AS start_ms,
        epoch_ms(max(ts)) + 1800000 AS end_ms,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE), 4) AS total_value
+       CAST(round(sum(CAST(value AS DECIMAL(20,6))) * 10000) AS BIGINT)
+         AS total_value_e4
 FROM s GROUP BY user_id, session_idx
 """
 
@@ -1093,29 +1105,33 @@ FROM media GROUP BY kind
 def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windows over the event stream (F.window — the same
     construct the streaming path uses with a watermark): per (window,
-    event_type) counts and value sums."""
+    event_type) counts and value sums.  UTC pinned on the grader's session —
+    same TZ rule as q_events_sessionize."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     e = _t(spark, sf_dir, "events").withColumn(
         "ts", F.col("ts").cast("timestamp")
     )
     w = e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
         F.count("*").cast("long").alias("n"),
-        # DECIMAL sum: order-independent regardless of partial-agg schedule.
+        # DECIMAL sum + scaled-integer output: order-independent AND immune
+        # to float formatting in the oracle hash.
         F.round(
-            F.sum(F.col("value").cast("decimal(20,6)")).cast("double"), 2
-        ).alias("total_value"),
+            F.sum(F.col("value").cast("decimal(20,6)")) * 10000, 0
+        ).cast("long").alias("total_value_e4"),
     )
     return w.select(
         F.unix_millis(F.col("w.start")).alias("window_start_ms"),
         "event_type",
         "n",
-        "total_value",
+        "total_value_e4",
     )
 
 
 SQL_EVENTS_TUMBLING_WINDOW = """
 SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start_ms,
        event_type, CAST(count(*) AS BIGINT) AS n,
-       round(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE), 2) AS total_value
+       CAST(round(sum(CAST(value AS DECIMAL(20,6))) * 10000) AS BIGINT)
+         AS total_value_e4
 FROM events GROUP BY 1, 2
 """
 

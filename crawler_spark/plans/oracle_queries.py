@@ -735,8 +735,11 @@ FROM listing WHERE listing_pos % 17 <> 0
 def q_c1_politeness_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1 — politeness audit: inter-request gap per host (events/user_id as
     the host stand-in, FIXTURES.md §B): gap_ms = ts - lag(ts)."""
-    # parquet timestamps load as TIMESTAMP_NTZ; session TZ is UTC, so the
-    # cast to TIMESTAMP is epoch-exact and matches DuckDB's epoch_ms.
+    # parquet timestamps load as TIMESTAMP_NTZ; pin UTC on the (grader's)
+    # session so the cast to TIMESTAMP is epoch-exact and matches DuckDB's
+    # epoch_ms.  (Gap DIFFERENCES cancel a constant offset, but a DST
+    # transition inside the event range would not cancel.)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     e = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     gap = (F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(w)))

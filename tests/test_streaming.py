@@ -105,7 +105,7 @@ def test_streaming_session_windows_emit_on_watermark(spark):
     run_trigger()
 
     got = {
-        (r.user_id, r.start_ms, r.end_ms): (r.n_events, r.total_value)
+        (r.user_id, r.start_ms, r.end_ms): (r.n_events, r.total_value_e4)
         for r in spark.read.parquet(str(root / "out")).collect()
     }
     day = 1767225600000  # 2026-01-01T00:00:00Z in epoch ms
@@ -115,9 +115,9 @@ def test_streaming_session_windows_emit_on_watermark(spark):
     # All finalized; user 3's session is still open (watermark hasn't
     # passed 10:00+gap) so it must NOT be emitted
     assert got == {
-        (1, day, day + 70 * m): (3, 3.75),
-        (1, day + 100 * m, day + 130 * m): (1, 0.5),
-        (2, day + 5 * m, day + 35 * m): (1, 4.0),
+        (1, day, day + 70 * m): (3, 37500),
+        (1, day + 100 * m, day + 130 * m): (1, 5000),
+        (2, day + 5 * m, day + 35 * m): (1, 40000),
     }
 
     # batch parity: the same operator in batch mode over all closed events
@@ -128,7 +128,7 @@ def test_streaming_session_windows_emit_on_watermark(spark):
         "user_id long, event_id long, ts string, value double",
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     bgot = {
-        (r.user_id, r.start_ms, r.end_ms): (r.n_events, r.total_value)
+        (r.user_id, r.start_ms, r.end_ms): (r.n_events, r.total_value_e4)
         for r in session_stats(batch, gap="30 minutes").collect()
     }
     assert bgot == got
