@@ -494,16 +494,35 @@ def connected_components_star(
 
     cur = edges
     prev_sig = None
+    converged = False
     for _ in range(max_iter):
         cur = small_star(large_star(cur)).localCheckpoint(eager=True)
         sig = signature(cur)
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
     # at the fixed point every edge is (node, component-min)
     labels = cur.select(
         F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
     )
+    if not converged:
+        # An unconverged edge set can hold several (doc_id, label) rows with
+        # conflicting non-minimum labels — never emit that silently: collapse
+        # to min(label) per doc (correct within each partially-merged piece)
+        # and tell the caller to raise max_iter.
+        import warnings
+
+        warnings.warn(
+            f"connected_components_star: no fixed point after {max_iter} "
+            "rounds — labels collapsed to min per doc_id; raise max_iter "
+            "(rounds needed grow ~log²(n))",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        labels = labels.groupBy("doc_id").agg(
+            F.min("cluster_id").alias("cluster_id")
+        )
     return (
         nodes.join(labels, "doc_id", "left")
         .select(

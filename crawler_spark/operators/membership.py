@@ -69,16 +69,23 @@ def build_bloom(
     expected_items: int,
     fpp: float = 0.01,
     build_partitions: int = 16,
+    fanout: int = 4,
 ) -> "NumpyBloom":
     """Distributed bloom build over ``seen[key]`` (int64 keys).
 
-    Each of ``build_partitions`` coalesced partitions builds a local bitmap
-    from its Arrow batches (numpy, no per-row Python), ships it as ONE binary
-    row, and the driver ORs them — a tree-reduce-shaped aggregation whose
-    network cost is ``build_partitions × m/8`` bytes, independent of row
-    count.  At 10^10 seen URLs, shard by host_bucket and build one bloom per
-    shard instead of one global bitmap (same code, smaller ``m`` each).
+    Each of ``build_partitions`` partitions builds a local bitmap from its
+    Arrow batches (numpy, no per-row Python) and ships it as ONE binary row;
+    the bitmaps are then OR-reduced in a ``fanout``-ary tree of executor-side
+    mapInArrow rounds, so the driver ever receives at most ``fanout`` blobs
+    (≤ fanout·m/8 bytes) regardless of ``build_partitions`` — at 10^10 keys
+    / 1 % fpp one blob is ~1.5 GB, so a flat collect of 16 of them through
+    the driver would be the bottleneck this tree removes.  For frontier-scale
+    seen sets, shard by host_bucket and build one bloom per shard instead of
+    one global bitmap (same code, smaller ``m`` each) — the generation loop
+    and arrow_frontier already use that partition-local path.
     """
+    import math as _math
+
     import pyarrow as pa
 
     bloom = NumpyBloom(expected_items, fpp)
@@ -97,16 +104,33 @@ def build_bloom(
             [pa.array([local.bits.tobytes()], type=pa.binary())], names=["bits"]
         )
 
+    def or_bitmaps(batches):
+        acc = None
+        for batch in batches:
+            for blob in batch.column(0).to_pylist():
+                b = np.frombuffer(blob, dtype=np.uint64)
+                acc = b.copy() if acc is None else acc | b
+        if acc is not None:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([acc.tobytes()], type=pa.binary())], names=["bits"]
+            )
+
     # repartition (not coalesce): coalesce would cap the upstream scan's
     # parallelism at build_partitions; the shuffle here moves only 8-byte
     # keys, so full-width compute + narrow exchange wins.
-    parts = (
+    bitmaps = (
         seen.select(F.col(key).cast("long").alias("k"))
         .repartition(build_partitions)
         .mapInArrow(build, "bits binary")
-        .collect()
     )
-    for row in parts:
+    n_rows = build_partitions  # build() yields exactly one row per partition
+    while n_rows > fanout:
+        n_parts = _math.ceil(n_rows / fanout)
+        bitmaps = bitmaps.repartition(n_parts).mapInArrow(
+            or_bitmaps, "bits binary"
+        )
+        n_rows = n_parts  # or_bitmaps yields ≤1 row per partition
+    for row in bitmaps.collect():
         bloom.bits |= np.frombuffer(row.bits, dtype=np.uint64)
     return bloom
 

@@ -66,25 +66,77 @@ def sign_lsh_bucket(col: str, dims: list[int]) -> F.Column:
     return F.expr(acc)
 
 
-def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+def _dot(x: str, y: str) -> str:
+    """Left-to-right double fold — identical op order to cosine_expr (and to
+    the DuckDB oracle), so literal-array and column-pair paths agree bitwise."""
+    return (
+        f"aggregate(zip_with({x}, {y}, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _array_lit(vals: list[float]) -> str:
+    # repr() round-trips doubles exactly; the JVM parses the same IEEE value
+    return "array(" + ",".join(f"CAST({v!r} AS DOUBLE)" for v in vals) + ")"
+
+
+def ivf_assign(
+    emb: DataFrame, centroids: DataFrame, max_inline_centroids: int = 256
+) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest centroid
     by cosine (ties → lowest centroid_id).
 
-    ``centroids``: (centroid_id, c_embedding) — small, broadcast.  At scale
-    the assignment is a one-off build step and ``cell`` becomes the vector
-    table's partition column, so a probe reads one partition.
+    **Map-side argmin — zero shuffle.**  The k centroids are collected (a
+    coarse quantizer is small by construction — the same deliberate
+    small-collect a broadcast does) and inlined as array literals; each
+    vector row folds over them with ``greatest(struct(cos, -centroid_id)…)``
+    entirely inside its scan task.  The previous formulation ranked the
+    N×k broadcast cross join with a per-vec_id window — at 10^9 embeddings
+    that window's exchange shuffles the expanded set (embeddings included)
+    once per k-means iteration; this one shuffles nothing.
+
+    Quantizers wider than ``max_inline_centroids`` fall back to a
+    relational ``max_by`` partial aggregation (shuffles N rows, not N×k).
+    At scale the assignment is a one-off build step and ``cell`` becomes
+    the vector table's partition column, so a probe reads one partition.
     """
+    rows = centroids.select("centroid_id", "c_embedding").collect()
+    if rows and len(rows) <= max_inline_centroids:
+        structs = []
+        for r in sorted(rows, key=lambda r: r.centroid_id):
+            arr = _array_lit(list(r.c_embedding))
+            cos = (
+                f"round({_dot('embedding', arr)} / "
+                f"(sqrt({_dot('embedding', 'embedding')}) * sqrt({_dot(arr, arr)})), 6)"
+            )
+            # max of (cos, -centroid_id) == (cos desc, centroid_id asc) —
+            # the same total order the window version used
+            structs.append(
+                f"struct({cos} AS c, CAST({-r.centroid_id} AS BIGINT) AS nid)"
+            )
+        best = f"greatest({', '.join(structs)})" if len(structs) > 1 else structs[0]
+        return emb.select(
+            "vec_id",
+            "embedding",
+            F.expr(f"CAST(-({best}.nid) AS {_cid_type(centroids)})").alias("cell"),
+        )
     scored = emb.crossJoin(F.broadcast(centroids))
     cos = F.round(cosine_expr("embedding", "c_embedding"), 6)
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("__c").desc(), F.col("centroid_id").asc()
-    )
     return (
         scored.select("vec_id", "embedding", "centroid_id", cos.alias("__c"))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("vec_id", "embedding", F.col("centroid_id").alias("cell"))
+        .groupBy("vec_id")
+        .agg(
+            F.expr(
+                "max_by(centroid_id, struct(__c, -centroid_id))"
+            ).alias("cell"),
+            F.first("embedding").alias("embedding"),
+        )
+        .select("vec_id", "embedding", "cell")
     )
+
+
+def _cid_type(centroids: DataFrame) -> str:
+    return centroids.schema["centroid_id"].dataType.simpleString()
 
 
 def kmeans_centroids(

@@ -307,7 +307,10 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithms must label every node with its component minimum."""
     sig = DD.minhash_signatures(_corpus(spark, sf_dir), num_perm=16)
     pairs = DD.lsh_candidate_pairs(sig, num_perm=16, bands=4, min_est_jaccard=0.5)
-    cc = DD.connected_components_star(pairs)
+    # max_iter surfaced here: 12 rounds covers ~any real near-dup graph
+    # (rounds grow ~log² n); on non-convergence the operator warns and
+    # collapses labels to min per doc instead of emitting conflicts.
+    cc = DD.connected_components_star(pairs, max_iter=12)
     return cc.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("cluster_id").cast("long").alias("cluster_id"),

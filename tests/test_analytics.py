@@ -269,12 +269,15 @@ def test_ivf_trained_nprobe_recall_beats_nprobe1(spark):
 
     assert recall(r2) >= recall(r1)
     assert recall(r2) > 0.3  # trained 4-cell/2-probe on sf0.001 is coarse
-    # (b) every nprobe=1 candidate set is a subset of nprobe=2's
-    for qid, s in r1.items():
-        pool2 = r2.get(qid, set())
-        # top-5 of a superset candidate pool can only have ≥ the scores;
-        # subset holds for the candidate POOL, spot-check via recall above
-        assert pool2
+    # (b) the nprobe=1 candidate POOL is contained in the nprobe=2 pool:
+    # with k ≥ corpus size, top-k returns every candidate the probe saw,
+    # so the containment is asserted on the actual pools, per query
+    n_corpus = edf.count()
+    pool1 = topk_sets(ivf_topk(edf, q, cent, k=n_corpus, nprobe=1))
+    pool2 = topk_sets(ivf_topk(edf, q, cent, k=n_corpus, nprobe=2))
+    assert set(pool1) <= set(pool2)  # every probed query still probed
+    for qid, s in pool1.items():
+        assert s <= pool2[qid], f"query {qid}: nprobe=1 pool ⊄ nprobe=2 pool"
 
 
 # ---------------------------------------------------------------------------
