@@ -6,14 +6,17 @@ URLs/sec dequeued+deduped on a synthetic frontier, evidenced at two cluster
 sizes.  The north rule's criterion is N vs 4N EXECUTORS; with no real
 cluster here it is evidenced two ways on the same input:
 
-- **executor pair (headline)**: 1 vs 4 concurrent fresh-JVM "executors"
-  (taskset-pinned local[EXEC_CORES] processes over salted-host shards,
-  barrier-synchronized repeats) — each executor its own JVM + python
-  workers, exactly like cluster executors; the host-bucketed store
-  co-partitions so cross-executor exchange is nil by design.
-- **thread pairs (reported alongside)**: local[2]→local[8]→local[32] in one
+- **executor pair (THE headline — pre-declared, never substituted)**: 1 vs
+  4 concurrent fresh-JVM "executors" (taskset-pinned local[EXEC_CORES]
+  processes over salted-host shards, barrier-synchronized repeats) — each
+  executor its own JVM + python workers, exactly like cluster executors;
+  the host-bucketed store co-partitions so cross-executor exchange is nil
+  by design.
+- **thread pairs (diagnostics only)**: local[2]→local[8]→local[32] in one
   JVM — additionally measures the single shared JVM's Arrow-IPC ceiling,
-  which a multi-executor deployment does not have.
+  which a multi-executor deployment does not have.  Never promoted to the
+  headline.  All levels run a FIXED number of passes (no result-gated
+  retries).
 
 The frontier job is the real dequeue+dedup pipeline from the engine:
   synth URLs (10% in-batch dups, one hot host with ~10% of all traffic)
@@ -604,48 +607,6 @@ def main() -> None:
             key = str(n_exec)
             if key not in ex_levels or r["urls_per_s"] > ex_levels[key]["urls_per_s"]:
                 ex_levels[key] = r
-    # Adaptive retries: the 4-executor level needs 8 CPUs concurrently for
-    # ~10 s, so a hypervisor-steal phase hits it far harder than the 2-CPU
-    # baseline — one stolen window can sink every regular pass; the thread
-    # pair fails under different noise (shared-JVM IPC + its own steal
-    # exposure).  While the best current headline is below the
-    # quiet-window efficiency, re-run the cheap upper levels (the 4-exec
-    # fleet and the local[levels[1]] thread run) with 45 s gaps to span the
-    # weather; every attempt's walls are recorded for transparency.
-    def _eff_exec() -> float:
-        if "1" not in ex_levels or "4" not in ex_levels:
-            return 0.0
-        return ex_levels["4"]["urls_per_s"] / ex_levels["1"]["urls_per_s"] / 4
-
-    def _eff_thread() -> float:
-        a, b = (levels[0], levels[1]) if len(levels) >= 2 else (None, None)
-        if a not in results or b not in results:
-            return 0.0
-        return results[b]["urls_per_s"] / results[a]["urls_per_s"] / (b / a)
-
-    if DO_SCALING and ex_levels:
-        attempts = [ex_levels["4"]["rep_walls_s"]]
-        for retry in range(3):
-            if max(_eff_exec(), _eff_thread()) >= 0.82:
-                break
-            if retry:
-                time.sleep(45)  # steal phases last minutes — span weather
-            r = _executor_level(
-                4, EXEC_CORES, [f"{base}/ex4_{i}" for i in range(4)],
-                prep["shards"], repeats=2,
-            )
-            attempts.append(r["rep_walls_s"])
-            if r["urls_per_s"] > ex_levels["4"]["urls_per_s"]:
-                ex_levels["4"] = r
-            if len(levels) >= 2:
-                b = levels[1]
-                rt = _collect_frontier(
-                    _spawn_measure(b, 1, f"{base}/full", prep["full"])
-                )
-                walls.setdefault(b, []).extend(rt.pop("all_walls_s"))
-                if rt["urls_per_s"] > results[b]["urls_per_s"]:
-                    results[b] = rt
-        ex_levels["4"]["attempt_walls_s"] = attempts
     if base is not None:
         shutil.rmtree(base, ignore_errors=True)
     for cores, r in results.items():
@@ -661,24 +622,15 @@ def main() -> None:
             ex_levels["4"]["urls_per_s"] / ex_levels["1"]["urls_per_s"] / 4
         )
         scaling["efficiency_1x_to_4x_executors"] = round(eff, 3)
-    # Headline: the better of the two sanctioned N-vs-4N analogs (the round
-    # instructions allow "local[8] and local[32], or N and 4N cores"-style
-    # pairs; the executor pair is the closest model of 4N EXECUTORS).  Both
-    # are always recorded above; `efficiency_basis` names which one the
-    # headline came from — they fail under DIFFERENT noise (thread pair:
-    # shared-JVM Arrow IPC; executor pair: steal on an 8-CPU footprint), so
-    # taking the max reads the machine's true scaling through whichever
-    # window was quiet.
-    cands: dict[str, float] = {}
-    if ex_levels:
-        cands["executors_1x_to_4x"] = scaling["efficiency_1x_to_4x_executors"]
-    a_b = f"efficiency_{levels[0]}_to_{levels[1]}" if len(levels) >= 2 else None
-    if DO_SCALING and a_b in scaling:
-        cands[f"threads_{levels[0]}_to_{levels[1]}"] = scaling[a_b]
-    if cands:
-        basis = max(cands, key=cands.get)
-        scaling["efficiency"] = round(cands[basis], 3)
-        scaling["efficiency_basis"] = basis
+        # Headline basis is PRE-DECLARED and fixed: the 1-vs-4 executor pair
+        # (separate taskset-pinned JVMs over salted-host shards) is the
+        # faithful in-sandbox analog of the north rule's "N vs 4N
+        # executors".  The single-JVM thread ratios above are DIAGNOSTICS
+        # ONLY (they additionally measure one shared JVM's Arrow-IPC
+        # ceiling, which a multi-executor deployment does not have) and are
+        # never promoted to the headline, whatever their value.
+        scaling["efficiency"] = scaling["efficiency_1x_to_4x_executors"]
+        scaling["efficiency_basis"] = "executors_1x_to_4x"
     high = max(results.values(), key=lambda r: r["urls_per_s"])
 
     s_q = _session(CPUS)
