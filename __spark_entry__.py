@@ -40,6 +40,7 @@ DEFER_TO_TAIL = [
     "w2_main_json",
     "p5_title_projection",
     "c7_multi_tenant",
+    "t8_judge_type",
 ]
 
 

@@ -583,11 +583,14 @@ def main() -> None:
         # the executor levels alone.
         for cores in run_levels if p < passes else []:
             if DO_SCALING:
-                # 1 timed repeat per pass (after warmup): two interleaved
-                # passes still give best-of-2 per level, and the executor
-                # pair — the headline — keeps 2 repeats per pass
+                # 2 timed repeats per pass (after warmup): two interleaved
+                # passes give best-of-4 per thread level — fixed schedule,
+                # chosen up front; the round-2 A/B isolated the VM's steal
+                # windows (identical-config reps differing 2.6x) as the
+                # dominant noise, so sampling more windows is the honest
+                # variance reducer, unlike result-gated re-runs
                 r = _collect_frontier(
-                    _spawn_measure(cores, 1, f"{base}/full", prep["full"])
+                    _spawn_measure(cores, 2, f"{base}/full", prep["full"])
                 )
             else:
                 r = _frontier_subprocess(cores, N_URLS, repeats=2)

@@ -245,15 +245,24 @@ def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text") -> DataFram
     return v.select("doc_id", F.expr(acc).alias("simhash"))
 
 
-def simhash_near_pairs(
-    sim: DataFrame, bits: int = 32, chunks: int = 4, max_hamming: int = 3
+def hamming_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    bits: int,
+    chunks: int,
+    max_hamming: int,
 ) -> DataFrame:
-    """Near-duplicate pairs by SimHash hamming distance.
+    """Near-duplicate pairs of any ``bits``-bit hash by hamming distance.
 
-    Pigeonhole blocking: split the ``bits``-bit hash into ``chunks`` equal
-    chunks — any pair with hamming ≤ chunks−1 shares at least one chunk, so
-    the chunk-equality self-join is a complete candidate generator for
+    Pigeonhole blocking: split the hash into ``chunks`` equal chunks — any
+    pair with hamming ≤ chunks−1 shares at least one chunk, so the
+    chunk-equality self-join is a complete candidate generator for
     ``max_hamming ≤ chunks−1``; exact ``bit_count(xor)`` verifies after.
+    Masking after the shift makes the chunk values identical whether the
+    engine's ``>>`` sign-extends or not.  Shared by text SimHash
+    (:func:`simhash_near_pairs`) and image perceptual hashes
+    (operators.multimodal.phash_near_pairs).
     """
     if max_hamming > chunks - 1:
         raise ValueError("pigeonhole requires max_hamming <= chunks - 1")
@@ -262,28 +271,39 @@ def simhash_near_pairs(
     chunk_cols = [
         F.struct(
             F.lit(j).alias("chunk_id"),
-            F.expr(f"(simhash >> {j * w}) & {mask}").alias("chunk_val"),
+            F.expr(f"({hash_col} >> {j * w}) & {mask}").alias("chunk_val"),
         )
         for j in range(chunks)
     ]
-    chunked = sim.select(
-        "doc_id", "simhash", F.explode(F.array(*chunk_cols)).alias("c")
-    ).select("doc_id", "simhash", "c.chunk_id", "c.chunk_val")
+    chunked = df.select(
+        id_col, hash_col, F.explode(F.array(*chunk_cols)).alias("c")
+    ).select(id_col, hash_col, "c.chunk_id", "c.chunk_val")
     a, b = chunked.alias("a"), chunked.alias("b")
     return (
         a.join(
             b,
             (F.col("a.chunk_id") == F.col("b.chunk_id"))
             & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
-            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+            F.expr(f"bit_count(a.{hash_col} ^ b.{hash_col})").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def simhash_near_pairs(
+    sim: DataFrame, bits: int = 32, chunks: int = 4, max_hamming: int = 3
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance (pigeonhole-blocked
+    — see :func:`hamming_near_pairs`)."""
+    return hamming_near_pairs(
+        sim, "doc_id", "simhash", bits=bits, chunks=chunks,
+        max_hamming=max_hamming,
     )
 
 

@@ -150,6 +150,75 @@ def resize_images(images: DataFrame, max_side: int = 256) -> DataFrame:
     ).mapInPandas(run, RESIZE_SCHEMA)
 
 
+PHASH_SCHEMA = "image_id string, phash long, status string"
+
+
+def ahash_images(images: DataFrame) -> DataFrame:
+    """Perceptual-hash stage: decode → ``codecs.phash64`` (64-bit aHash,
+    integral-image box means), per Arrow batch — fills the ``phash`` column
+    of the input_hint table (image_id, bytes, w, h, fmt, caption,
+    **phash:int64**) from real decoded pixels.  aHash is resize /
+    re-encode-robust: a thumbnail or a lossy re-encode of the same image
+    lands within a few bits (pinned by tests/test_codecs.py), which is what
+    makes hamming-bucketed image dedup work downstream.  Per-row failure
+    isolation (C3): undecodable rows keep their id with status='error' and
+    null phash."""
+    from crawler_spark.sources import codecs
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"image_id": [], "phash": [], "status": []}
+            for row in pdf.itertuples():
+                try:
+                    rgb = codecs.decode_image(bytes(row.bytes), row.fmt)
+                    out["phash"].append(codecs.phash64(rgb))
+                    out["status"].append("ok")
+                except Exception:
+                    out["phash"].append(None)
+                    out["status"].append("error")
+                out["image_id"].append(row.image_id)
+            yield pd.DataFrame(
+                {
+                    "image_id": out["image_id"],
+                    # object dtype, NOT default inference: a mixed
+                    # [int, None] list coerces to float64, which silently
+                    # rounds int64 hashes past 2^53 (observed: low ~10 bits
+                    # zeroed whenever a batch held one undecodable row)
+                    "phash": pd.Series(out["phash"], dtype="object"),
+                    "status": out["status"],
+                }
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        run, PHASH_SCHEMA
+    )
+
+
+def phash_near_pairs(
+    images: DataFrame,
+    bits: int = 64,
+    chunks: int = 8,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs by perceptual-hash hamming distance — the
+    image-payload analog of text SimHash dedup, sharing the pigeonhole
+    machinery (operators.dedup.hamming_near_pairs): any pair within
+    ``max_hamming ≤ chunks−1`` shares at least one exact chunk, so the
+    chunk-equality inverted-index join is a complete candidate generator and
+    ``bit_count(xor)`` verifies exactly.  At 10^10 images the chunk value is
+    a partition key of the image store; candidates stay bucket-local.
+
+    Input needs (image_id, phash); compose with :func:`ahash_images` when
+    the phash column is not materialized yet.
+    """
+    from crawler_spark.operators.dedup import hamming_near_pairs
+
+    return hamming_near_pairs(
+        images, "image_id", "phash", bits=bits, chunks=chunks,
+        max_hamming=max_hamming,
+    )
+
+
 # video container for the frame pipeline: "VID0" + u32 n + n×(u32 len ‖ PNG)
 _VID_MAGIC = b"VID0"
 

@@ -1105,6 +1105,71 @@ FROM media GROUP BY kind
 """
 
 
+def _phash_nib_sum(dialect: str) -> str:
+    """Portable 60-bit hash from the first 15 md5(text) nibbles — the
+    deterministic stand-in for a decoded-pixel perceptual hash, identical in
+    both engines (the REAL aHash path over decoded pixels is
+    operators.multimodal.ahash_images, pinned by tests/test_codecs.py)."""
+    pos = "instr" if dialect == "spark" else "strpos"
+    sub = "substring" if dialect == "spark" else "substr"
+    return " + ".join(
+        f"CAST(({pos}('0123456789abcdef', {sub}(md5(text), {i}, 1)) - 1) "
+        f"AS BIGINT) * CAST({16 ** (i - 1)} AS BIGINT)"
+        for i in range(1, 16)
+    )
+
+
+def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs by perceptual-hash hamming distance — the
+    image-payload analog of dedup_simhash, over the input_hint table shape
+    (image_id, …, phash:int64).  Near-dup variants are planted inside the
+    query (phash XOR 3 for every 7th image — 2-bit hamming); candidate
+    generation is the pigeonhole chunk join (complete for hamming ≤ chunks−1)
+    shared with SimHash, verified by exact bit_count(xor).  The oracle runs
+    the identical algorithm relationally."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.concat(F.lit("img-"), F.col("doc_id").cast("string")).alias(
+            "image_id"
+        ),
+        F.expr(_phash_nib_sum("spark")).alias("phash"),
+    )
+    variants = base.filter(F.col("doc_id") % 7 == 0).select(
+        F.concat("image_id", F.lit("-v")).alias("image_id"),
+        F.expr("phash ^ CAST(3 AS BIGINT)").alias("phash"),
+    )
+    imgs = base.select("image_id", "phash").unionByName(variants)
+    pairs = MM.phash_near_pairs(imgs, bits=60, chunks=10, max_hamming=4)
+    return pairs.select(
+        "a_id", "b_id", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+SQL_IMAGE_PHASH_NEARDUP = f"""
+WITH base AS (
+  SELECT doc_id, 'img-' || CAST(doc_id AS VARCHAR) AS image_id,
+         {_phash_nib_sum("duckdb")} AS phash
+  FROM documents),
+imgs AS (
+  SELECT image_id, phash FROM base
+  UNION ALL
+  SELECT image_id || '-v' AS image_id, xor(phash, CAST(3 AS BIGINT)) AS phash
+  FROM base WHERE doc_id % 7 = 0),
+chunked AS (
+  SELECT image_id, phash, j AS chunk_id, (phash >> (j * 6)) & 63 AS chunk_val
+  FROM imgs CROSS JOIN generate_series(0, 9) t(j)),
+cand AS (
+  SELECT DISTINCT a.image_id AS a_id, b.image_id AS b_id,
+         bit_count(xor(a.phash, b.phash)) AS hamming
+  FROM chunked a JOIN chunked b
+    ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+   AND a.image_id < b.image_id)
+SELECT a_id, b_id, CAST(hamming AS INT) AS hamming
+FROM cand WHERE hamming <= 4
+"""
+
+
 def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windows over the event stream (F.window — the same
     construct the streaming path uses with a watermark): per (window,
@@ -1248,6 +1313,7 @@ ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "mm_image_metadata": (q_mm_image_metadata, SQL_MM_IMAGE_METADATA),
     "mm_decode_features": (q_mm_decode_features, SQL_MM_DECODE_FEATURES),
     "mm_av_metadata": (q_mm_av_metadata, SQL_MM_AV_METADATA),
+    "image_phash_neardup": (q_image_phash_neardup, SQL_IMAGE_PHASH_NEARDUP),
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "pack_token_shards": (q_pack_token_shards, SQL_PACK_TOKEN_SHARDS),

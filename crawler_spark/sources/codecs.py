@@ -132,21 +132,35 @@ def phash64(rgb: np.ndarray) -> int:
     """64-bit perceptual hash: 8×8 mean-threshold of a box-downsampled
     grayscale (aHash — deterministic, no DCT dependency).
 
+    ALL accumulation is exact int64 — the grayscale projection is
+    1000·luma = 299·R + 587·G + 114·B elementwise, never a float matmul:
+    a BLAS ``@`` picks different summation orders under different threading
+    (Spark python workers run with OMP_NUM_THREADS=1, the driver doesn't),
+    which flipped near-mean threshold bits between driver and executor for
+    the same pixels.  The only floats are exact-int ratios compared at the
+    end, identical on every build.
+
     Returns a *signed* int64 (two's complement) to match Spark LongType.
     """
-    g = rgb.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    px = rgb.astype(np.int64)
+    g = 299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
     h, w = g.shape
     ys = (np.arange(9) * h) // 8
     xs = (np.arange(9) * w) // 8
-    cells = np.empty((8, 8))
-    ii = np.zeros((h + 1, w + 1))
-    ii[1:, 1:] = g.cumsum(0).cumsum(1)  # integral image → exact box means
+    ii = np.zeros((h + 1, w + 1), dtype=np.int64)
+    ii[1:, 1:] = g.cumsum(0).cumsum(1)  # exact integer integral image
+    sums = np.empty((8, 8), dtype=np.int64)
+    areas = np.empty((8, 8), dtype=np.int64)
     for i in range(8):
         for j in range(8):
             y0, y1, x0, x1 = ys[i], ys[i + 1], xs[j], xs[j + 1]
-            area = max((y1 - y0) * (x1 - x0), 1)
-            cells[i, j] = (ii[y1, x1] - ii[y0, x1] - ii[y1, x0] + ii[y0, x0]) / area
-    bits = (cells > cells.mean()).ravel()
+            areas[i, j] = max((y1 - y0) * (x1 - x0), 1)
+            sums[i, j] = ii[y1, x1] - ii[y0, x1] - ii[y1, x0] + ii[y0, x0]
+    # exact-int ÷ exact-int is a single IEEE op per cell; the 64-element
+    # mean uses numpy's fixed pairwise order — no BLAS, no threading input
+    cells = sums.astype(np.float64) / areas
+    mean = cells.sum() / 64.0
+    bits = (cells > mean).ravel()
     v = 0
     for b in bits:
         v = (v << 1) | int(b)

@@ -465,3 +465,59 @@ def test_connected_components_star_deep_chain(spark):
     want = {i: 100 for i in range(100, 221)}
     want.update({500: 500, 501: 500, 502: 500, 900: 900, 901: 900})
     assert got == want
+
+
+def test_image_phash_near_dup_end_to_end(spark):
+    """Image near-dup over REAL decoded pixels: encode distinct random PNGs,
+    plant a lossy re-encode variant per image, hash with ahash_images
+    (codecs.phash64 over decoded RGB), pair with the pigeonhole chunk join.
+    Expect exactly the planted (orig, variant) pairs; banded candidates must
+    equal the brute-force hamming scan (completeness for
+    max_hamming <= chunks-1); an undecodable row isolates as status=error."""
+    from crawler_spark.operators.multimodal import ahash_images, phash_near_pairs
+    from crawler_spark.sources import codecs
+
+    rng_rows = []
+    for k in range(12):
+        rng = np.random.default_rng(1000 + k)
+        # block-structured content (like real photos, unlike iid noise —
+        # noise puts every aHash cell AT the mean, the degenerate case):
+        # an 8x8 coarse pattern upsampled 4x, plus mild sensor-ish noise
+        coarse = rng.integers(0, 256, size=(8, 8, 3), dtype=np.int16)
+        rgb = np.kron(coarse, np.ones((4, 4, 1), dtype=np.int16))
+        rgb = (rgb + rng.integers(-8, 9, size=rgb.shape)).clip(0, 255)
+        rgb = rgb.astype(np.uint8)
+        rng_rows.append((f"i{k:02d}", bytearray(codecs.encode_png(rgb)), "png"))
+        rng_rows.append(
+            (f"i{k:02d}-v", bytearray(codecs.encode_jpeg(rgb)), "jpeg")
+        )
+    rng_rows.append(("broken", bytearray(b"not an image"), "png"))
+    imgs = spark.createDataFrame(
+        rng_rows, "image_id string, bytes binary, fmt string"
+    )
+    hashed = ahash_images(imgs)
+    rows = hashed.collect()
+    status = {r.image_id: r.status for r in rows}
+    assert status["broken"] == "error"
+    assert all(v == "ok" for k, v in status.items() if k != "broken")
+
+    ok = hashed.filter(F.col("status") == "ok").select("image_id", "phash")
+    got = {
+        (r.a_id, r.b_id): r.hamming
+        for r in phash_near_pairs(ok, bits=64, chunks=8, max_hamming=6).collect()
+    }
+    want_pairs = {(f"i{k:02d}", f"i{k:02d}-v") for k in range(12)}
+    # every planted lossy variant is found within the aHash robustness bound
+    assert want_pairs <= set(got)
+    assert all(h <= 6 for h in got.values())
+
+    # completeness: banded pairs == brute-force hamming scan
+    ph = {r.image_id: r.phash for r in ok.collect()}
+    mask = (1 << 64) - 1
+    brute = {
+        (a, b)
+        for a in ph
+        for b in ph
+        if a < b and bin((ph[a] ^ ph[b]) & mask).count("1") <= 6
+    }
+    assert set(got) == brute
