@@ -124,6 +124,66 @@ class ParquetWarehouse:
     def manifest(self, generation: int) -> dict:
         return json.loads((self.root / "_commits" / f"{generation}.json").read_text())
 
+    # -- bucketed (co-located) snapshots ------------------------------------
+
+    def stage_snapshot_bucketed(
+        self,
+        table: str,
+        df: DataFrame,
+        generation: int,
+        key: str,
+        buckets: int = 128,
+    ) -> None:
+        """Snapshot variant for the recurring-join tables (url_seen):
+        written ``bucketBy(buckets, key)`` + key-sorted, so every later
+        equi-join/groupBy on ``key`` reuses the on-disk distribution —
+        zero Exchange, zero Sort in the plan (tests/test_bucketed.py).
+        Same commit gating as stage_snapshot; on Iceberg this is the
+        ``bucket(B, key)`` partition transform instead."""
+        from crawler_spark.sources.bucketed import write_bucketed
+
+        path = self.root / table / f"gen={generation}"
+        if path.exists():
+            shutil.rmtree(path)
+        write_bucketed(
+            df, self._bucket_table_name(table, generation), str(path),
+            key, buckets,
+        )
+
+    def read_snapshot_bucketed(
+        self,
+        table: str,
+        schema_ddl: str,
+        key: str,
+        buckets: int = 128,
+        as_of_generation: int | None = None,
+    ) -> DataFrame | None:
+        """Latest committed bucketed snapshot WITH its bucket distribution
+        visible to the planner (re-registered on resume — parquet files
+        carry no bucketing spec, the catalog does)."""
+        from crawler_spark.sources.bucketed import read_bucketed
+
+        for g in reversed(self.committed_generations()):
+            if as_of_generation is not None and g > as_of_generation:
+                continue
+            path = self.root / table / f"gen={g}"
+            if path.exists():
+                return read_bucketed(
+                    self.spark, self._bucket_table_name(table, g),
+                    str(path), schema_ddl, key, buckets,
+                )
+        return None
+
+    def _bucket_table_name(self, table: str, generation: int) -> str:
+        # catalog identifiers can't contain '=' or '/'; the root tag
+        # disambiguates concurrent warehouses in one session.  crc32, not
+        # hash(): PYTHONHASHSEED varies per process and resume must derive
+        # the SAME name.
+        import zlib
+
+        tag = zlib.crc32(str(self.root).encode()) % 10_000_000
+        return f"wh{tag}_{table}_g{generation}"
+
 
 class IcebergWarehouse:  # pragma: no cover - jars absent in this sandbox
     """Drop-in for a real cluster: same method surface over an Iceberg

@@ -132,3 +132,62 @@ def test_streaming_session_windows_emit_on_watermark(spark):
         for r in session_stats(batch, gap="30 minutes").collect()
     }
     assert bgot == got
+
+
+def test_streaming_dedupe_within_watermark(spark):
+    """dropDuplicatesWithinWatermark over the ingest stream: duplicates
+    arriving within the delay are dropped exactly once across micro-batches
+    (state is eviction-bounded, not history-bounded), and the batch-mode
+    fallback gives plain dropDuplicates semantics."""
+    from crawler_spark.streaming.dedup import dedupe_within_watermark
+
+    root = Path(tempfile.mkdtemp(prefix="dedup_stream_"))
+    inp, ckpt = root / "in", root / "ckpt"
+    inp.mkdir(parents=True)
+    schema = "url string, ts timestamp"
+
+    def write(name, rows):
+        with open(inp / name, "w") as f:
+            for url, ts in rows:
+                f.write(json.dumps({"url": url, "ts": ts}) + "\n")
+
+    def run_trigger():
+        stream = spark.readStream.schema(schema).json(str(inp))
+        out = dedupe_within_watermark(
+            stream, ["url"], ts_col="ts", delay="10 minutes"
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", str(root / "out"))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: a has an in-batch duplicate 1 min apart -> one survivor
+    write("b1.json", [
+        ("http://a/1", "2026-01-01T00:00:00"),
+        ("http://a/1", "2026-01-01T00:01:00"),
+        ("http://b/2", "2026-01-01T00:02:00"),
+    ])
+    run_trigger()
+    # batch 2: a re-arrives within the watermark window -> still dropped;
+    # c is new -> kept
+    write("b2.json", [
+        ("http://a/1", "2026-01-01T00:05:00"),
+        ("http://c/3", "2026-01-01T00:06:00"),
+    ])
+    run_trigger()
+
+    got = sorted(r.url for r in spark.read.parquet(str(root / "out")).collect())
+    assert got == ["http://a/1", "http://b/2", "http://c/3"]
+
+    # batch-mode fallback: same operator, plain dedup semantics
+    batch = spark.createDataFrame(
+        [("u", "2026-01-01 00:00:00"), ("u", "2026-01-01 00:09:00"),
+         ("v", "2026-01-01 00:01:00")],
+        "url string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    assert dedupe_within_watermark(batch, ["url"]).count() == 2
