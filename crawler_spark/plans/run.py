@@ -55,11 +55,14 @@ class ListingPhaseError(RuntimeError):
     """C4 — any listing failure aborts the generation (job retry)."""
 
 
+SEEN_DDL = (
+    "judge string, pid string, canonical_url string, url_hash bigint, "
+    "title string, last_generation int"
+)
+
+
 def _empty_seen(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
-        [], "judge string, pid string, canonical_url string, url_hash bigint, "
-        "title string, last_generation int"
-    )
+    return spark.createDataFrame([], SEEN_DDL)
 
 
 def run_generation(
@@ -71,6 +74,7 @@ def run_generation(
     num_buckets: int = 16,
     run_id: str = "run0",
     base_ts: float = 1_700_000_000.0,
+    seen_buckets: int = 0,
 ) -> dict:
     fetcher = SyntheticFetcher(web)
     t0 = time.time()
@@ -159,7 +163,16 @@ def run_generation(
     ).localCheckpoint(eager=True)
 
     # -- 2. selection (J1 + A1 + A3, §2.9 normative order)
-    seen = wh.read_snapshot("url_seen") or _empty_seen(spark)
+    # seen_buckets > 0 → the co-located store: the snapshot is written
+    # bucketBy(seen_buckets, judge, pid), so this read carries the hash
+    # distribution into the selection join (tests/test_bucketed.py pins the
+    # zero-Exchange property; at 10^10 keys that exchange IS the job)
+    if seen_buckets:
+        seen = wh.read_snapshot_bucketed(
+            "url_seen", SEEN_DDL, ["judge", "pid"], seen_buckets
+        ) or _empty_seen(spark)
+    else:
+        seen = wh.read_snapshot("url_seen") or _empty_seen(spark)
     batch = select_generation(
         listing, seen.select("judge", "pid", "title"), limit=limit,
         seed=f"g{generation}",
@@ -252,7 +265,13 @@ def run_generation(
         seen.join(new_seen.select("judge", "pid"), ["judge", "pid"], "left_anti")
         .unionByName(new_seen)
     )
-    wh.stage_snapshot("url_seen", merged_seen, generation)
+    if seen_buckets:
+        wh.stage_snapshot_bucketed(
+            "url_seen", merged_seen, generation, ["judge", "pid"],
+            seen_buckets,
+        )
+    else:
+        wh.stage_snapshot("url_seen", merged_seen, generation)
     # host clocks already include robots/listing/problem stages; add assets
     wh.stage_snapshot(
         "host_state",
@@ -288,6 +307,7 @@ def run_crawl(
     limit: int = 20,
     num_buckets: int = 16,
     run_id: str = "run0",
+    seen_buckets: int = 0,
 ) -> list[dict]:
     """Driver loop with resume: continues after the last committed
     generation (idempotent under kill/restart)."""
@@ -295,7 +315,12 @@ def run_crawl(
     start = (wh.last_generation() + 1) if wh.last_generation() is not None else 0
     out = []
     for g in range(start, generations):
-        out.append(run_generation(spark, wh, web, g, limit, num_buckets, run_id))
+        out.append(
+            run_generation(
+                spark, wh, web, g, limit, num_buckets, run_id,
+                seen_buckets=seen_buckets,
+            )
+        )
         print(f"[crawler_spark] committed generation {g}: {out[-1]}")
     return out
 
@@ -310,6 +335,11 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=8)
     ap.add_argument("--buckets", type=int, default=16)
     ap.add_argument("--seed", default="synthweb-42")
+    ap.add_argument(
+        "--seen-buckets", type=int, default=0,
+        help="bucketBy(N, judge, pid) the url_seen snapshots (co-located "
+             "selection join; 0 = plain parquet)",
+    )
     args = ap.parse_args()
 
     from crawler_spark.session import get_spark
@@ -319,7 +349,8 @@ def main() -> None:
     web = SynthWeb.default(n_judges=args.judges, n_pids=args.pids)
     web.seed = args.seed
     metrics = run_crawl(
-        spark, args.warehouse, web, args.generations, args.limit, args.buckets
+        spark, args.warehouse, web, args.generations, args.limit, args.buckets,
+        seen_buckets=args.seen_buckets,
     )
     print(f"[crawler_spark] done: {metrics}")
 

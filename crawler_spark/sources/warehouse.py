@@ -131,7 +131,7 @@ class ParquetWarehouse:
         table: str,
         df: DataFrame,
         generation: int,
-        key: str,
+        key: str | list[str],
         buckets: int = 128,
     ) -> None:
         """Snapshot variant for the recurring-join tables (url_seen):
@@ -154,7 +154,7 @@ class ParquetWarehouse:
         self,
         table: str,
         schema_ddl: str,
-        key: str,
+        key: str | list[str],
         buckets: int = 128,
         as_of_generation: int | None = None,
     ) -> DataFrame | None:
