@@ -41,6 +41,7 @@ DEFER_TO_TAIL = [
     "p5_title_projection",
     "c7_multi_tenant",
     "t8_judge_type",
+    "w3_write_files_skip",
 ]
 
 

@@ -173,15 +173,7 @@ def lsh_candidate_pairs(
     The self-join is keyed on (band_id, band_key) — an inverted-index join;
     md5 keys are uniform so there is no skew to salt.
     """
-    rows = num_perm // bands
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"s{b * rows + j}") for j in range(rows)]
-        band_cols.append(F.struct(F.lit(b).alias("band_id"),
-                                  F.md5(F.concat_ws("|", *cols)).alias("band_key")))
-    banded = signatures.select(
-        "doc_id", "sig", F.explode(F.array(*band_cols)).alias("band")
-    ).select("doc_id", "sig", "band.band_id", "band.band_key")
+    banded = lsh_band_rows(signatures, num_perm, bands)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -205,6 +197,73 @@ def lsh_candidate_pairs(
         .distinct()
     )
     return pairs
+
+
+def lsh_band_rows(
+    signatures: DataFrame, num_perm: int = 16, bands: int = 4
+) -> DataFrame:
+    """(doc_id, sig, band_id, band_key) rows — the persisted inverted-index
+    form of the LSH banding.  At corpus scale this is a stored table,
+    bucketed by (band_id, band_key) (sources/bucketed.py), so incremental
+    probes join co-located."""
+    rows = num_perm // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"s{b * rows + j}") for j in range(rows)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+            )
+        )
+    return signatures.select(
+        "doc_id", "sig", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", "sig", "band.band_id", "band.band_key")
+
+
+def lsh_incremental_pairs(
+    index: DataFrame,
+    new_sigs: DataFrame,
+    num_perm: int = 16,
+    bands: int = 4,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """Incremental LSH dedup: candidate pairs involving at least one NEW
+    doc, by probing a pre-banded index — the production shape of
+    lsh_candidate_pairs at corpus scale, where re-shingling and re-joining
+    the whole corpus per crawl batch is the cost you must not pay.
+
+    ``index``: lsh_band_rows over the EXISTING corpus signatures (a stored
+    table; only appended to).  ``new_sigs``: minhash_signatures of the new
+    batch only — so the per-batch work is O(new·P) hashing plus a join whose
+    left side is the new batch's bands, not the corpus.  New-new pairs are
+    found too (the probe side joins against index ∪ new bands).  Same
+    est_jaccard and thresholds as the batch operator: the result equals
+    lsh_candidate_pairs(old ∪ new) restricted to pairs with a new side
+    (pinned by tests/test_analytics.py).
+    """
+    bnew = lsh_band_rows(new_sigs, num_perm, bands)
+    ball = index.unionByName(bnew)
+    a, b = bnew.alias("a"), ball.alias("b")
+    est = F.expr(
+        f"aggregate(zip_with(a.sig, b.sig, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), "
+        f"0, (acc, v) -> acc + v) / CAST({num_perm} AS DOUBLE)"
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("a_id"),
+            F.greatest("a.doc_id", "b.doc_id").alias("b_id"),
+            F.round(est, 4).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+        .distinct()
+    )
 
 
 # ---------------------------------------------------------------------------

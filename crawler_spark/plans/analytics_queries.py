@@ -161,7 +161,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sql(num_perm: int = 16, bands: int = 4) -> str:
+def _minhash_sql(
+    num_perm: int = 16, bands: int = 4, extra_where: str = ""
+) -> str:
     rows = num_perm // bands
     mins = ",\n         ".join(
         f"min(md5('{i}:' || shingle)) AS s{i}" for i in range(num_perm)
@@ -199,11 +201,38 @@ pairs AS (
 )
 SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id,
        CAST(est_jaccard AS DOUBLE) AS est_jaccard
-FROM pairs WHERE est_jaccard >= 0.5
+FROM pairs WHERE est_jaccard >= 0.5{extra_where}
 """
 
 
 SQL_DEDUP_MINHASH = _minhash_sql()
+
+
+def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH dedup: docs with doc_id % 5 == 0 arrive as the NEW
+    crawl batch; the rest are the existing corpus whose band index
+    (DD.lsh_band_rows) is the only thing probed — the per-batch cost is
+    O(new) hashing + an index join, never a corpus re-shingle.  The oracle
+    is the FULL pairwise banding restricted to pairs with a new side —
+    provably the same set, which is exactly the incremental contract."""
+    c = _corpus(spark, sf_dir)
+    is_new = F.col("doc_id") % 5 == 0
+    sig_old = DD.minhash_signatures(c.filter(~is_new), num_perm=16)
+    index = DD.lsh_band_rows(sig_old, num_perm=16, bands=4)
+    sig_new = DD.minhash_signatures(c.filter(is_new), num_perm=16)
+    out = DD.lsh_incremental_pairs(
+        index, sig_new, num_perm=16, bands=4, min_est_jaccard=0.5
+    )
+    return out.select(
+        F.col("a_id").cast("long").alias("a_id"),
+        F.col("b_id").cast("long").alias("b_id"),
+        F.col("est_jaccard").cast("double").alias("est_jaccard"),
+    )
+
+
+SQL_DEDUP_MINHASH_INCREMENTAL = _minhash_sql(
+    extra_where=" AND (a_id % 5 = 0 OR b_id % 5 = 0)"
+)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1303,6 +1332,10 @@ FROM scored WHERE quality >= 0.7 GROUP BY source
 ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
+    "dedup_minhash_incremental": (
+        q_dedup_minhash_incremental,
+        SQL_DEDUP_MINHASH_INCREMENTAL,
+    ),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),

@@ -521,3 +521,37 @@ def test_image_phash_near_dup_end_to_end(spark):
         if a < b and bin((ph[a] ^ ph[b]) & mask).count("1") <= 6
     }
     assert set(got) == brute
+
+
+def test_incremental_lsh_equals_full_restricted(spark):
+    """lsh_incremental_pairs over (index(old), new) must equal the full
+    lsh_candidate_pairs over old ∪ new restricted to pairs with a new side
+    — including new-new pairs — at identical est_jaccard values."""
+    from crawler_spark.operators.dedup import (
+        lsh_band_rows,
+        lsh_candidate_pairs,
+        lsh_incremental_pairs,
+        minhash_signatures,
+    )
+
+    corpus = _corpus(spark)
+    is_new = F.col("doc_id") % 5 == 0
+    sig_all = minhash_signatures(corpus, num_perm=16)
+    full = {
+        (r.a_id, r.b_id): r.est_jaccard
+        for r in lsh_candidate_pairs(sig_all, min_est_jaccard=0.5).collect()
+    }
+    new_ids = {r.doc_id for r in corpus.filter(is_new).select("doc_id").collect()}
+    want = {
+        p: j for p, j in full.items() if p[0] in new_ids or p[1] in new_ids
+    }
+
+    index = lsh_band_rows(minhash_signatures(corpus.filter(~is_new), num_perm=16))
+    got = {
+        (r.a_id, r.b_id): r.est_jaccard
+        for r in lsh_incremental_pairs(
+            index, minhash_signatures(corpus.filter(is_new), num_perm=16),
+            min_est_jaccard=0.5,
+        ).collect()
+    }
+    assert got == want and len(want) > 0
