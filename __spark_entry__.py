@@ -42,6 +42,7 @@ DEFER_TO_TAIL = [
     "c7_multi_tenant",
     "t8_judge_type",
     "w3_write_files_skip",
+    "s10_fixed_range_scan",
 ]
 
 

@@ -1199,6 +1199,85 @@ FROM cand WHERE hamming <= 4
 """
 
 
+def q_image_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship IMAGE-corpus curation (the north_star's image+caption
+    training-data pass, composed like q_corpus_curation): build the
+    input_hint-shaped table (image_id, w, h, fmt, caption, phash) with
+    planted duplicate rows → phash-exact dedup keeping the min image_id →
+    caption quality gate (3..40 tokens) → per-fmt rollup of survivors.
+    One declarative plan: Catalyst fuses dedup window, gate and rollup."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.concat(F.lit("img-"), F.col("doc_id").cast("string")).alias(
+            "image_id"
+        ),
+        (F.expr("instr('0123456789abcdef', substring(md5(text), 1, 1))") * 16
+         + 16).cast("int").alias("w"),
+        (F.expr("instr('0123456789abcdef', substring(md5(text), 2, 1))") * 16
+         + 16).cast("int").alias("h"),
+        F.element_at(
+            F.array(F.lit("png"), F.lit("jpeg"), F.lit("webp")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("fmt"),
+        F.substring("text", 1, 120).alias("caption"),
+        F.expr(_phash_nib_sum("spark")).alias("phash"),
+    )
+    dups = base.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "image_id", F.concat("image_id", F.lit("-v"))
+    )
+    imgs = base.unionByName(dups)
+    w_d = Window.partitionBy("phash").orderBy("image_id")
+    kept = (
+        imgs.withColumn("__rn", F.row_number().over(w_d))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    toks = F.size(F.split(F.trim("caption"), r"\s+"))
+    gated = kept.withColumn("n_cap_tokens", toks.cast("long")).filter(
+        (F.col("n_cap_tokens") >= 3) & (F.col("n_cap_tokens") <= 40)
+    )
+    return gated.groupBy("fmt").agg(
+        F.count("*").cast("long").alias("n_images"),
+        F.sum("n_cap_tokens").cast("long").alias("total_cap_tokens"),
+        F.sum(F.col("w").cast("long") * F.col("h")).cast("long").alias(
+            "total_pixels"
+        ),
+    )
+
+
+SQL_IMAGE_CORPUS_CURATION = f"""
+WITH base AS (
+  SELECT doc_id, 'img-' || CAST(doc_id AS VARCHAR) AS image_id,
+         (strpos('0123456789abcdef', substr(md5(text), 1, 1)) * 16 + 16) AS w,
+         (strpos('0123456789abcdef', substr(md5(text), 2, 1)) * 16 + 16) AS h,
+         ['png', 'jpeg', 'webp'][CAST(doc_id % 3 + 1 AS INT)] AS fmt,
+         substr(text, 1, 120) AS caption,
+         {_phash_nib_sum("duckdb")} AS phash
+  FROM documents),
+imgs AS (
+  SELECT image_id, w, h, fmt, caption, phash FROM base
+  UNION ALL
+  SELECT image_id || '-v', w, h, fmt, caption, phash
+  FROM base WHERE doc_id % 7 = 0),
+kept AS (
+  SELECT *, row_number() OVER (PARTITION BY phash ORDER BY image_id) AS rn
+  FROM imgs),
+gated AS (
+  SELECT fmt, w, h,
+         CAST(len(regexp_split_to_array(trim(caption), '\\s+')) AS BIGINT)
+           AS n_cap_tokens
+  FROM kept WHERE rn = 1)
+SELECT fmt, CAST(count(*) AS BIGINT) AS n_images,
+       CAST(sum(n_cap_tokens) AS BIGINT) AS total_cap_tokens,
+       CAST(sum(CAST(w AS BIGINT) * h) AS BIGINT) AS total_pixels
+FROM gated WHERE n_cap_tokens BETWEEN 3 AND 40
+GROUP BY fmt
+"""
+
+
 def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windows over the event stream (F.window — the same
     construct the streaming path uses with a watermark): per (window,
@@ -1353,6 +1432,10 @@ ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "mm_decode_features": (q_mm_decode_features, SQL_MM_DECODE_FEATURES),
     "mm_av_metadata": (q_mm_av_metadata, SQL_MM_AV_METADATA),
     "image_phash_neardup": (q_image_phash_neardup, SQL_IMAGE_PHASH_NEARDUP),
+    "image_corpus_curation": (
+        q_image_corpus_curation,
+        SQL_IMAGE_CORPUS_CURATION,
+    ),
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "pack_token_shards": (q_pack_token_shards, SQL_PACK_TOKEN_SHARDS),
