@@ -73,7 +73,9 @@ BENCH_QUERIES = [
     "t1_link_extraction",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_incremental",
     "dedup_ngram_jaccard",
+    "image_phash_neardup",
     "dedup_embedding_cosine",
     "ann_bruteforce_topk",
     "ann_lsh_bucketed",
