@@ -200,12 +200,23 @@ def lsh_candidate_pairs(
 
 
 def lsh_band_rows(
-    signatures: DataFrame, num_perm: int = 16, bands: int = 4
+    signatures: DataFrame,
+    num_perm: int = 16,
+    bands: int = 4,
+    include_sig: bool = True,
 ) -> DataFrame:
-    """(doc_id, sig, band_id, band_key) rows — the persisted inverted-index
-    form of the LSH banding.  At corpus scale this is a stored table,
-    bucketed by (band_id, band_key) (sources/bucketed.py), so incremental
-    probes join co-located."""
+    """(doc_id[, sig], band_id, band_key) rows — the persisted
+    inverted-index form of the LSH banding.  At corpus scale this is a
+    stored table, bucketed by (band_id, band_key) (sources/bucketed.py), so
+    incremental probes join co-located.
+
+    For a PERSISTED index pass ``include_sig=False``: carrying the full
+    num_perm-element signature in every band row stores each signature
+    ``bands``× (the dominant column, written and scanned 4× at defaults) —
+    the lean index holds only (doc_id, band_id, band_key) and
+    :func:`lsh_incremental_pairs` joins signatures back on the candidate
+    pairs, which are far fewer than index rows.  ``include_sig=True`` is
+    the inline shape :func:`lsh_candidate_pairs` consumes directly."""
     rows = num_perm // bands
     band_cols = []
     for b in range(bands):
@@ -216,9 +227,10 @@ def lsh_band_rows(
                 F.md5(F.concat_ws("|", *cols)).alias("band_key"),
             )
         )
+    payload = ["doc_id", "sig"] if include_sig else ["doc_id"]
     return signatures.select(
-        "doc_id", "sig", F.explode(F.array(*band_cols)).alias("band")
-    ).select("doc_id", "sig", "band.band_id", "band.band_key")
+        *payload, F.explode(F.array(*band_cols)).alias("band")
+    ).select(*payload, "band.band_id", "band.band_key")
 
 
 def lsh_incremental_pairs(
@@ -227,6 +239,7 @@ def lsh_incremental_pairs(
     num_perm: int = 16,
     bands: int = 4,
     min_est_jaccard: float = 0.5,
+    old_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental LSH dedup: candidate pairs involving at least one NEW
     doc, by probing a pre-banded index — the production shape of
@@ -241,25 +254,60 @@ def lsh_incremental_pairs(
     est_jaccard and thresholds as the batch operator: the result equals
     lsh_candidate_pairs(old ∪ new) restricted to pairs with a new side
     (pinned by tests/test_analytics.py).
+
+    Two index shapes are accepted: a ``sig``-carrying index (inline
+    est_jaccard, no extra join) and the LEAN persisted index
+    (``lsh_band_rows(include_sig=False)``) — then ``old_sigs`` (doc_id,
+    sig) is required and signatures are joined back onto the candidate
+    pairs only, which is the at-scale shape (|pairs| ≪ |index rows|).
     """
-    bnew = lsh_band_rows(new_sigs, num_perm, bands)
+    has_sig = "sig" in index.columns
+    bnew = lsh_band_rows(new_sigs, num_perm, bands, include_sig=has_sig)
     ball = index.unionByName(bnew)
     a, b = bnew.alias("a"), ball.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") != F.col("b.doc_id")),
+    )
+    if has_sig:
+        pairs = cand.select(
+            F.least("a.doc_id", "b.doc_id").alias("a_id"),
+            F.greatest("a.doc_id", "b.doc_id").alias("b_id"),
+            F.col("a.sig").alias("a_sig"),
+            F.col("b.sig").alias("b_sig"),
+        )
+    else:
+        if old_sigs is None:
+            raise ValueError(
+                "a lean index (no sig column) requires old_sigs=(doc_id, sig)"
+            )
+        pairs = cand.select(
+            F.least("a.doc_id", "b.doc_id").alias("a_id"),
+            F.greatest("a.doc_id", "b.doc_id").alias("b_id"),
+        ).distinct()
+        all_sigs = old_sigs.select("doc_id", "sig").unionByName(
+            new_sigs.select("doc_id", "sig")
+        )
+        pairs = pairs.join(
+            all_sigs.select(
+                F.col("doc_id").alias("a_id"), F.col("sig").alias("a_sig")
+            ),
+            "a_id",
+        ).join(
+            all_sigs.select(
+                F.col("doc_id").alias("b_id"), F.col("sig").alias("b_sig")
+            ),
+            "b_id",
+        )
     est = F.expr(
-        f"aggregate(zip_with(a.sig, b.sig, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), "
+        f"aggregate(zip_with(a_sig, b_sig, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), "
         f"0, (acc, v) -> acc + v) / CAST({num_perm} AS DOUBLE)"
     )
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
-        )
-        .select(
-            F.least("a.doc_id", "b.doc_id").alias("a_id"),
-            F.greatest("a.doc_id", "b.doc_id").alias("b_id"),
-            F.round(est, 4).alias("est_jaccard"),
+        pairs.select(
+            "a_id", "b_id", F.round(est, 4).alias("est_jaccard")
         )
         .filter(F.col("est_jaccard") >= min_est_jaccard)
         .distinct()

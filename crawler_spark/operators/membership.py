@@ -88,6 +88,12 @@ def build_bloom(
 
     import pyarrow as pa
 
+    if fanout < 2:
+        raise ValueError(
+            f"fanout must be >= 2 (got {fanout}): the OR-reduce tree halves "
+            "the row count by ceil(rows/fanout) per round, which never "
+            "terminates at fanout <= 1"
+        )
     bloom = NumpyBloom(expected_items, fpp)
     m, k = bloom.m, bloom.k
     nwords = len(bloom.bits)

@@ -99,15 +99,35 @@ def ivf_assign(
     relational ``max_by`` partial aggregation (shuffles N rows, not N×k).
     At scale the assignment is a one-off build step and ``cell`` becomes
     the vector table's partition column, so a probe reads one partition.
+
+    NOTE — eager contract: the ``centroids.collect()`` runs a Spark job at
+    CALL time (like the standard k-means driver loop), so composing this
+    plan executes the centroid lineage even if the result is never used;
+    errors in it surface here, not at the downstream action.
     """
     rows = centroids.select("centroid_id", "c_embedding").collect()
     if rows and len(rows) <= max_inline_centroids:
+        # Hoist the constant folds out of the per-(row × centroid) work:
+        # each centroid's norm is computed ONCE here with the exact
+        # left-to-right IEEE fold the SQL aggregate would run (Python float
+        # IS an IEEE double; v*v then acc+prod round identically in the same
+        # order, and sqrt is correctly rounded in both), and the query
+        # norm is one column per row instead of one fold per centroid —
+        # cutting 3 O(dims) folds per (row, centroid) to 1 + 1/k.
+        def _norm(vals: list[float]) -> float:
+            import math
+
+            acc = 0.0
+            for v in vals:
+                acc = acc + (v * v)
+            return math.sqrt(acc)
+
         structs = []
         for r in sorted(rows, key=lambda r: r.centroid_id):
             arr = _array_lit(list(r.c_embedding))
             cos = (
                 f"round({_dot('embedding', arr)} / "
-                f"(sqrt({_dot('embedding', 'embedding')}) * sqrt({_dot(arr, arr)})), 6)"
+                f"(__qn * CAST({_norm(list(r.c_embedding))!r} AS DOUBLE)), 6)"
             )
             # max of (cos, -centroid_id) == (cos desc, centroid_id asc) —
             # the same total order the window version used
@@ -115,10 +135,17 @@ def ivf_assign(
                 f"struct({cos} AS c, CAST({-r.centroid_id} AS BIGINT) AS nid)"
             )
         best = f"greatest({', '.join(structs)})" if len(structs) > 1 else structs[0]
-        return emb.select(
-            "vec_id",
-            "embedding",
-            F.expr(f"CAST(-({best}.nid) AS {_cid_type(centroids)})").alias("cell"),
+        return (
+            emb.withColumn(
+                "__qn", F.expr(f"sqrt({_dot('embedding', 'embedding')})")
+            )
+            .select(
+                "vec_id",
+                "embedding",
+                F.expr(f"CAST(-({best}.nid) AS {_cid_type(centroids)})").alias(
+                    "cell"
+                ),
+            )
         )
     scored = emb.crossJoin(F.broadcast(centroids))
     cos = F.round(cosine_expr("embedding", "c_embedding"), 6)

@@ -865,6 +865,10 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     session timezone so the string→timestamp cast (parquet ts is NTZ) and
     unix_millis are epoch-exact regardless of the grader's TZ; a non-UTC
     session shifts start_ms/end_ms by the zone offset vs DuckDB's epoch_ms.
+    The pin deliberately PERSISTS on the session (no save/restore): the
+    returned frame is lazy, so the conf must still hold at collect time —
+    callers that need a non-UTC session TZ afterwards must reset it
+    themselves once the result is materialized.
     """
     from pyspark.sql import Window
 

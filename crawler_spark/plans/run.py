@@ -168,9 +168,17 @@ def run_generation(
     # distribution into the selection join (tests/test_bucketed.py pins the
     # zero-Exchange property; at 10^10 keys that exchange IS the job)
     if seen_buckets:
-        seen = wh.read_snapshot_bucketed(
-            "url_seen", SEEN_DDL, ["judge", "pid"], seen_buckets
-        ) or _empty_seen(spark)
+        from crawler_spark.sources.warehouse import BucketSpecError
+
+        try:
+            seen = wh.read_snapshot_bucketed(
+                "url_seen", SEEN_DDL, ["judge", "pid"], seen_buckets
+            ) or _empty_seen(spark)
+        except BucketSpecError:
+            # pre---seen-buckets history (or a different layout): fall back
+            # to the plain read — correct, just not co-located; this
+            # generation's write below re-buckets the snapshot
+            seen = wh.read_snapshot("url_seen") or _empty_seen(spark)
     else:
         seen = wh.read_snapshot("url_seen") or _empty_seen(spark)
     batch = select_generation(

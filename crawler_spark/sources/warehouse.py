@@ -35,6 +35,11 @@ APPEND_TABLES = ("problems", "images", "fetch_log", "lineage", "listing")
 SNAPSHOT_TABLES = ("url_seen", "host_state")
 
 
+class BucketSpecError(RuntimeError):
+    """A bucketed read's (key, buckets) disagrees with — or is missing —
+    the persisted ``_bucketspec.json`` of the snapshot being read."""
+
+
 class ParquetWarehouse:
     def __init__(self, root: str, spark: SparkSession):
         self.root = Path(root)
@@ -139,8 +144,14 @@ class ParquetWarehouse:
         equi-join/groupBy on ``key`` reuses the on-disk distribution —
         zero Exchange, zero Sort in the plan (tests/test_bucketed.py).
         Same commit gating as stage_snapshot; on Iceberg this is the
-        ``bucket(B, key)`` partition transform instead."""
-        from crawler_spark.sources.bucketed import write_bucketed
+        ``bucket(B, key)`` partition transform instead.
+
+        The bucket spec (key, buckets) is persisted in a ``_bucketspec.json``
+        sidecar and is AUTHORITATIVE on read: parquet files don't record
+        bucketing, and registering 8-bucket files as a 16-bucket table would
+        silently route half the seen-set to the wrong bucket — a wrong-result
+        corruption, not a perf bug."""
+        from crawler_spark.sources.bucketed import _keys, write_bucketed
 
         path = self.root / table / f"gen={generation}"
         if path.exists():
@@ -148,6 +159,9 @@ class ParquetWarehouse:
         write_bucketed(
             df, self._bucket_table_name(table, generation), str(path),
             key, buckets,
+        )
+        (path / "_bucketspec.json").write_text(
+            json.dumps({"key": _keys(key), "buckets": buckets})
         )
 
     def read_snapshot_bucketed(
@@ -160,14 +174,38 @@ class ParquetWarehouse:
     ) -> DataFrame | None:
         """Latest committed bucketed snapshot WITH its bucket distribution
         visible to the planner (re-registered on resume — parquet files
-        carry no bucketing spec, the catalog does)."""
-        from crawler_spark.sources.bucketed import read_bucketed
+        carry no bucketing spec, the catalog does).
+
+        The persisted ``_bucketspec.json`` is validated against the caller's
+        (key, buckets): a mismatch raises :class:`BucketSpecError` instead of
+        silently mis-registering the layout; a committed snapshot WITHOUT a
+        spec (plain-parquet history, e.g. the crawl ran before
+        ``--seen-buckets`` was enabled) also raises, and callers that can
+        degrade should catch it and fall back to :meth:`read_snapshot`."""
+        from crawler_spark.sources.bucketed import _keys, read_bucketed
 
         for g in reversed(self.committed_generations()):
             if as_of_generation is not None and g > as_of_generation:
                 continue
             path = self.root / table / f"gen={g}"
             if path.exists():
+                spec_path = path / "_bucketspec.json"
+                if not spec_path.exists():
+                    raise BucketSpecError(
+                        f"{table} gen={g} has no _bucketspec.json — it was "
+                        "written as plain parquet; read it with "
+                        "read_snapshot() (registering it as bucketed would "
+                        "corrupt joins)"
+                    )
+                spec = json.loads(spec_path.read_text())
+                if spec != {"key": _keys(key), "buckets": buckets}:
+                    raise BucketSpecError(
+                        f"{table} gen={g} was written with bucket spec "
+                        f"{spec}, but the read asked for "
+                        f"{{'key': {_keys(key)}, 'buckets': {buckets}}} — "
+                        "registering a different layout silently routes keys "
+                        "to wrong buckets; use the persisted spec"
+                    )
                 return read_bucketed(
                     self.spark, self._bucket_table_name(table, g),
                     str(path), schema_ddl, key, buckets,

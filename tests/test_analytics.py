@@ -546,12 +546,24 @@ def test_incremental_lsh_equals_full_restricted(spark):
         p: j for p, j in full.items() if p[0] in new_ids or p[1] in new_ids
     }
 
-    index = lsh_band_rows(minhash_signatures(corpus.filter(~is_new), num_perm=16))
+    sig_old = minhash_signatures(corpus.filter(~is_new), num_perm=16)
+    sig_new = minhash_signatures(corpus.filter(is_new), num_perm=16)
+    index = lsh_band_rows(sig_old)
     got = {
         (r.a_id, r.b_id): r.est_jaccard
         for r in lsh_incremental_pairs(
-            index, minhash_signatures(corpus.filter(is_new), num_perm=16),
-            min_est_jaccard=0.5,
+            index, sig_new, min_est_jaccard=0.5
         ).collect()
     }
     assert got == want and len(want) > 0
+
+    # the LEAN persisted-index shape (no sig column; signatures joined back
+    # on candidates only) must give the identical result
+    lean = lsh_band_rows(sig_old, include_sig=False)
+    got_lean = {
+        (r.a_id, r.b_id): r.est_jaccard
+        for r in lsh_incremental_pairs(
+            lean, sig_new, min_est_jaccard=0.5, old_sigs=sig_old
+        ).collect()
+    }
+    assert got_lean == want

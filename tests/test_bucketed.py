@@ -128,3 +128,35 @@ def test_warehouse_bucketed_snapshot_commit_gated_and_colocated(spark):
         assert joined.count() == 5_000
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_bucket_spec_drift_is_rejected(spark):
+    """Reading a bucketed snapshot with a different (key, buckets) than it
+    was written with must raise, never silently mis-register the layout;
+    plain-parquet history read as bucketed must raise too (the run.py
+    resume path catches it and falls back to the plain read)."""
+    import pytest
+
+    from crawler_spark.sources.warehouse import BucketSpecError, ParquetWarehouse
+
+    root = tempfile.mkdtemp(prefix="wh_spec_")
+    wh = ParquetWarehouse(root, spark)
+    df = spark.range(100).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash")
+    )
+    wh.stage_snapshot_bucketed("url_seen", df, 0, "url_hash", buckets=8)
+    wh.commit(0)
+    ddl = "url_hash BIGINT"
+    with pytest.raises(BucketSpecError, match="written with bucket spec"):
+        wh.read_snapshot_bucketed("url_seen", ddl, "url_hash", buckets=16)
+    with pytest.raises(BucketSpecError, match="bucket spec"):
+        wh.read_snapshot_bucketed("url_seen", ddl, ["url_hash", "x"], 8)
+    # matching spec still reads fine
+    assert wh.read_snapshot_bucketed("url_seen", ddl, "url_hash", 8).count() == 100
+
+    # plain-parquet generation: bucketed read refuses
+    wh2 = ParquetWarehouse(tempfile.mkdtemp(prefix="wh_plain_"), spark)
+    wh2.stage_snapshot("url_seen", df, 0)
+    wh2.commit(0)
+    with pytest.raises(BucketSpecError, match="no _bucketspec.json"):
+        wh2.read_snapshot_bucketed("url_seen", ddl, "url_hash", 8)
