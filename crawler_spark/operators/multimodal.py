@@ -208,6 +208,15 @@ def phash_near_pairs(
     ``bit_count(xor)`` verifies exactly.  At 10^10 images the chunk value is
     a partition key of the image store; candidates stay bucket-local.
 
+    Scale rule for ``chunks``: the candidate count is
+    Σ_values n_v² per chunk position, so the chunk-value space
+    2^(bits/chunks) must dwarf the corpus-per-bucket — at 10^10 images use
+    chunks=4 (16-bit values, max_hamming ≤ 3) rather than the default 8
+    (8-bit values ⇒ 256-way inverted lists go quadratic), and note aHash
+    values are NOT uniform (flat images cluster near all-0/all-1 hashes):
+    salt the join by a cheap exact-dup pre-collapse (groupBy phash) first —
+    exact duplicates are the mass of the skew.
+
     Input needs (image_id, phash); compose with :func:`ahash_images` when
     the phash column is not materialized yet.
     """
