@@ -425,6 +425,7 @@ def ngram_jaccard_pairs(
     min_jaccard: float = 0.6,
     text_col: str = "text",
     block_col: str | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over k-word shingle sets via inverted-index self-join.
 
@@ -436,12 +437,30 @@ def ngram_jaccard_pairs(
     shared vocabulary, hot shingles make the unblocked join quadratic in the
     per-shingle document frequency; adding the block key to the join both
     bounds that and lets the same column pre-partition the table at scale.
+
+    ``max_df`` is the corpus-scale skew guard: shingles appearing in more
+    than ``max_df`` docs (boilerplate — headers, license blurbs) are dropped
+    from the JOIN side only, capping every inverted list at max_df (the join
+    cost becomes Σ min(df, max_df)² instead of Σ df²).  Doc sizes stay exact,
+    so the reported jaccard is a LOWER BOUND of the true value (inter can
+    only shrink, and j is monotone in inter) — no false positives, and
+    exact for pairs whose shared shingles are all rare (near-duplicate pairs
+    share their *distinctive* text; pinned by tests/test_analytics.py).
     """
     sh = exploded_shingles(
         docs, k, text_col, extra_cols=[block_col] if block_col else None
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    join_sh = sh
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("shingle")
+        )
+        join_sh = sh.join(rare, "shingle")
+    a, b = join_sh.alias("a"), join_sh.alias("b")
     cond = (F.col("a.shingle") == F.col("b.shingle")) & (
         F.col("a.doc_id") < F.col("b.doc_id")
     )

@@ -567,3 +567,44 @@ def test_incremental_lsh_equals_full_restricted(spark):
         ).collect()
     }
     assert got_lean == want
+
+
+def test_ngram_jaccard_max_df_lower_bound(spark):
+    """The max_df skew guard: reported jaccard is a lower bound of the true
+    value (never a false positive), boilerplate-only similarity disappears,
+    and a near-dup pair whose shared shingles are rare keeps its exact
+    value."""
+    from crawler_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "all rights reserved by the content provider of this site"
+    docs = spark.createDataFrame(
+        [
+            # near-dup pair with DISTINCTIVE shared text (rare shingles)
+            (1, "quantum flux capacitor aligns the tachyon emitter array perfectly"),
+            (2, "quantum flux capacitor aligns the tachyon emitter array badly"),
+            # four unrelated docs sharing only the boilerplate sentence
+            (3, f"alpha document body {boiler}"),
+            (4, f"beta document body {boiler}"),
+            (5, f"gamma document body {boiler}"),
+            (6, f"delta document body {boiler}"),
+        ],
+        "doc_id long, text string",
+    )
+    exact = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in ngram_jaccard_pairs(docs, k=3, min_jaccard=0.0).collect()
+    }
+    capped = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, k=3, min_jaccard=0.0, max_df=3
+        ).collect()
+    }
+    # lower bound + no false positives
+    for p, j in capped.items():
+        assert p in exact and j <= exact[p] + 1e-9, (p, j, exact.get(p))
+    # the distinctive near-dup pair survives at its exact value
+    assert abs(capped[(1, 2)] - exact[(1, 2)]) < 1e-9 and exact[(1, 2)] > 0.5
+    # boilerplate-only pairs (shingles with df=4 > max_df) are not reported
+    boiler_pairs = {(a, b) for (a, b) in exact if a >= 3 and b >= 3}
+    assert boiler_pairs and not (boiler_pairs & set(capped))
