@@ -608,3 +608,37 @@ def test_ngram_jaccard_max_df_lower_bound(spark):
     # boilerplate-only pairs (shingles with df=4 > max_df) are not reported
     boiler_pairs = {(a, b) for (a, b) in exact if a >= 3 and b >= 3}
     assert boiler_pairs and not (boiler_pairs & set(capped))
+
+
+def test_hamming_near_pairs_randomized_completeness(spark):
+    """hamming_near_pairs at the oracle query's shape (60-bit, 10 chunks,
+    max_hamming=4): banded candidates == brute force on a randomized set
+    with planted near pairs."""
+    import numpy as np
+
+    from crawler_spark.operators.dedup import hamming_near_pairs
+
+    rng = np.random.default_rng(7)
+    vals = [int(v) for v in rng.integers(0, 1 << 60, size=200)]
+    # plant near pairs at distances 1..4 off the first 8 values
+    for i in range(8):
+        flip = 0
+        for b in rng.choice(60, size=(i % 4) + 1, replace=False):
+            flip |= 1 << int(b)
+        vals.append(vals[i] ^ flip)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "image_id long, phash long"
+    )
+    got = {
+        (r.a_id, r.b_id): r.hamming
+        for r in hamming_near_pairs(
+            df, "image_id", "phash", bits=60, chunks=10, max_hamming=4
+        ).collect()
+    }
+    brute = {}
+    for i in range(len(vals)):
+        for j in range(i + 1, len(vals)):
+            d = bin(vals[i] ^ vals[j]).count("1")
+            if d <= 4:
+                brute[(i, j)] = d
+    assert got == brute and len(brute) >= 8
