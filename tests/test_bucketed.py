@@ -160,3 +160,26 @@ def test_bucket_spec_drift_is_rejected(spark):
     wh2.commit(0)
     with pytest.raises(BucketSpecError, match="no _bucketspec.json"):
         wh2.read_snapshot_bucketed("url_seen", ddl, "url_hash", 8)
+
+
+def test_bucketed_time_travel(spark):
+    """as_of_generation on bucketed snapshots reads the historical layout
+    (Iceberg VERSION AS OF parity for the co-located store)."""
+    from crawler_spark.sources.warehouse import ParquetWarehouse
+
+    root = tempfile.mkdtemp(prefix="wh_tt_")
+    wh = ParquetWarehouse(root, spark)
+    for g, n in ((0, 100), (1, 250)):
+        df = spark.range(n).select(
+            F.xxhash64(F.col("id").cast("string")).alias("url_hash")
+        )
+        wh.stage_snapshot_bucketed("url_seen", df, g, "url_hash", buckets=4)
+        wh.commit(g)
+    ddl = "url_hash BIGINT"
+    assert wh.read_snapshot_bucketed("url_seen", ddl, "url_hash", 4).count() == 250
+    assert (
+        wh.read_snapshot_bucketed(
+            "url_seen", ddl, "url_hash", 4, as_of_generation=0
+        ).count()
+        == 100
+    )
