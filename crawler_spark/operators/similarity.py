@@ -198,16 +198,15 @@ def kmeans_centroids(
         .orderBy("__h", "vec_id")
         .limit(k)
     )
-    cent = top.select(
-        (
-            # partitionBy(lit(0)): identical single-partition semantics over
-            # these k rows, without WindowExec's no-partition warning in the
-            # grader's logs
-            F.row_number().over(
-                Window.partitionBy(F.lit(0)).orderBy("__h", "vec_id")
-            ) - 1
-        ).alias("centroid_id"),
-        F.col("embedding").alias("c_embedding"),
+    # the k seed rows are collected and re-created with enumerated ids:
+    # the training loop is eager anyway (ivf_assign collects centroids per
+    # iteration), the distributed fetch is a TakeOrderedAndProject (never a
+    # global sort), and this avoids a no-partition window (a full-data
+    # single-partition shuffle at any real k, plus the WindowExec warning).
+    seed_rows = sorted(top.collect(), key=lambda r: (r["__h"], r["vec_id"]))
+    cent = emb.sparkSession.createDataFrame(
+        [(i, [float(v) for v in r["embedding"]]) for i, r in enumerate(seed_rows)],
+        "centroid_id int, c_embedding array<double>",
     )
     for _ in range(iters):
         assigned = ivf_assign(emb, cent)
