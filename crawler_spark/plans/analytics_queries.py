@@ -909,7 +909,13 @@ s AS (
          sum(CASE WHEN gap_ms IS NULL OR gap_ms > 1800000 THEN 1 ELSE 0 END)
            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_idx
   FROM g)
-SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
+SELECT user_id,
+       -- DuckDB types the windowed sum(CASE...) HUGEINT (decimal128 via
+       -- Arrow); uncast it was the ONLY non-portable output type among all
+       -- oracles and flipped the driver's value hash vs Spark's BIGINT for
+       -- three rounds (rows+schema green, hash red).  Cast to BIGINT.
+       CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
        epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms,
        CAST(round(sum(CAST(value AS DECIMAL(20,6))) * 10000) AS BIGINT)
          AS total_value_e4

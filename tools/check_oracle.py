@@ -22,6 +22,33 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
+# Output types that survive every comparator normalization.  Anything else —
+# above all HUGEINT (an uncast sum(CASE…), surfaced by Arrow as
+# decimal128(38,0) and stringified "1.0" vs Spark BIGINT's "1") — flips the
+# driver's value hash with rows and schema green; that exact bug kept
+# events_sessionize red for three rounds.  DESCRIBE every oracle and fail
+# locally on any non-portable output column so the class can never reach
+# the driver again.
+PORTABLE_DUCK_TYPES = {"BIGINT", "INTEGER", "VARCHAR", "DOUBLE", "BOOLEAN", "BLOB"}
+
+
+def type_guard(con, oracles: dict[str, str]) -> list[tuple[str, str]]:
+    """DESCRIBE each oracle; return (query, problem) per non-portable column."""
+    bad: list[tuple[str, str]] = []
+    for name, sql in oracles.items():
+        try:
+            desc = con.execute(f"DESCRIBE {sql}").fetchall()
+        except Exception as ex:  # noqa: BLE001
+            bad.append((name, f"DESCRIBE failed: {ex}"))
+            continue
+        for col, typ, *_rest in desc:
+            base = typ.split("(", 1)[0].strip().upper()
+            if base not in PORTABLE_DUCK_TYPES:
+                bad.append(
+                    (name, f"column {col!r} has non-portable DuckDB type {typ}")
+                )
+    return bad
+
 
 def norm_cell(v) -> str:
     if v is None:
@@ -67,6 +94,11 @@ def main() -> int:
 
     qs, oracles = E.queries(), E.oracle_sql()
     failed, passed, weak = [], [], []
+    for name, problem in type_guard(
+        con, {k: v for k, v in oracles.items() if not only or k in only}
+    ):
+        failed.append((name, f"TYPE GUARD: {problem}"))
+        print(f"FAIL  {name}: type guard: {problem}")
     for name, fn in qs.items():
         if only and name not in only:
             continue
