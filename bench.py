@@ -55,7 +55,12 @@ from pyspark.sql import functions as F  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_URLS = int(os.environ.get("SPARK_GRAFT_FRONTIER_URLS", "12000000"))
+# 16M (up from r3's 12M): a shard job costs ~1.3 s fixed + linear part, and
+# at 3M-row shards that fixed part eats ~8% of the 4-executor wall — the
+# N-vs-4N ratio then under-reads true scaling (VERDICT-r3 #3). 4M-row
+# shards cut it to ~5-6%; r2's A/B measured 16M ⇒ 0.82 even in a dirty
+# steal window.
+N_URLS = int(os.environ.get("SPARK_GRAFT_FRONTIER_URLS", "16000000"))
 # executor-pair size: 1 core per executor — the smallest faithful
 # N-vs-4N-executor unit.  Its 4-CPU peak footprint fits inside this
 # VM's deliverable capacity even in degraded (steal-heavy) phases, so
@@ -605,10 +610,10 @@ def main() -> None:
             else:
                 dirs = [f"{base}/ex{n_exec}_{i}" for i in range(n_exec)]
                 rows_list = prep["shards"]
-            r = _executor_level(
-                n_exec, EXEC_CORES, dirs, rows_list,
-                repeats=1 if n_exec == 1 else 2,
-            )
+            # both levels get the SAME repeat count (VERDICT-r3 #3): the
+            # 1-executor wall is the noisiest single term in the N-vs-4N
+            # ratio, and best-of over equal repeats stays result-blind
+            r = _executor_level(n_exec, EXEC_CORES, dirs, rows_list, repeats=2)
             key = str(n_exec)
             if key not in ex_levels or r["urls_per_s"] > ex_levels[key]["urls_per_s"]:
                 ex_levels[key] = r

@@ -359,6 +359,7 @@ def hamming_near_pairs(
     bits: int,
     chunks: int,
     max_hamming: int,
+    max_chunk_df: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs of any ``bits``-bit hash by hamming distance.
 
@@ -370,6 +371,15 @@ def hamming_near_pairs(
     engine's ``>>`` sign-extends or not.  Shared by text SimHash
     (:func:`simhash_near_pairs`) and image perceptual hashes
     (operators.multimodal.phash_near_pairs).
+
+    ``max_chunk_df`` caps the inverted-list length per (chunk position,
+    chunk value): positions where a value occurs in more than that many rows
+    are dropped from candidate generation, bounding the join at
+    chunks·max_chunk_df² per value instead of quadratic in the hottest list
+    (same LOWER-BOUND semantics as ``ngram_jaccard_pairs(max_df=...)`` — a
+    pair is still found through any of its other ≤max_hamming shared-chunk
+    positions, but completeness is no longer guaranteed for pairs whose
+    every shared chunk is hot).
     """
     if max_hamming > chunks - 1:
         raise ValueError("pigeonhole requires max_hamming <= chunks - 1")
@@ -385,6 +395,14 @@ def hamming_near_pairs(
     chunked = df.select(
         id_col, hash_col, F.explode(F.array(*chunk_cols)).alias("c")
     ).select(id_col, hash_col, "c.chunk_id", "c.chunk_val")
+    if max_chunk_df is not None:
+        cold = (
+            chunked.groupBy("chunk_id", "chunk_val")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_chunk_df)
+            .select("chunk_id", "chunk_val")
+        )
+        chunked = chunked.join(cold, on=["chunk_id", "chunk_val"], how="left_semi")
     a, b = chunked.alias("a"), chunked.alias("b")
     return (
         a.join(

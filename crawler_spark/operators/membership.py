@@ -41,16 +41,30 @@ def due_or_changed(
     seen: DataFrame,
     keys: list[str] | None = None,
     compare: str = "title",
+    version: str | None = None,
 ) -> DataFrame:
     """J1 — the reference's due predicate (tools.go:339): a row is due iff
     its key is NOT in the seen set OR its ``compare`` column changed.
 
     Returns ``listing`` + boolean ``is_due``. The seen side is aggregated to
-    one row per key first (last-wins semantics of A5) so the join can't fan
-    out; Catalyst broadcasts it when small, sort-merge joins otherwise.
+    one row per key first so the join can't fan out; Catalyst broadcasts it
+    when small, sort-merge joins otherwise.
+
+    True last-wins over a seen set that may carry duplicate keys needs an
+    ordering column: pass ``version`` (e.g. generation / updated_at) and the
+    highest-version row's ``compare`` wins via ``max_by`` — deterministic,
+    unlike ``last()``, whose result depends on partition order.  Without
+    ``version`` the aggregate is ``max(compare)``: on a key-unique snapshot
+    (the A5 upsert invariant, which every snapshot written by this engine
+    satisfies) that IS the row's value, and on an unexpectedly duplicated key
+    it stays deterministic run-to-run instead of flapping with scheduling.
     """
     keys = keys or ["judge", "pid"]
-    seen_kv = seen.groupBy(*keys).agg(F.last(compare).alias("__seen_cmp"))
+    chosen = (
+        F.expr(f"max_by({compare}, {version})") if version is not None
+        else F.max(compare)
+    )
+    seen_kv = seen.groupBy(*keys).agg(chosen.alias("__seen_cmp"))
     joined = listing.join(seen_kv, on=keys, how="left")
     is_due = F.col("__seen_cmp").isNull() | (F.col("__seen_cmp") != F.col(compare))
     return joined.withColumn("is_due", is_due).drop("__seen_cmp")

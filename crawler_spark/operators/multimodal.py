@@ -194,11 +194,42 @@ def ahash_images(images: DataFrame) -> DataFrame:
     )
 
 
+def phash_value_pairs(
+    images: DataFrame,
+    bits: int = 64,
+    chunks: int = 8,
+    max_hamming: int = 6,
+    max_chunk_df: int | None = None,
+) -> DataFrame:
+    """Near pairs over DISTINCT phash values: (a_hash, b_hash, hamming≥1).
+
+    The candidate-generation stage of :func:`phash_near_pairs`, exposed so
+    its cost model is testable: the pigeonhole chunk join runs over
+    ``images.select("phash").distinct()``, so its size depends only on the
+    number of distinct hash values — never on how many images share one.
+    """
+    from crawler_spark.operators.dedup import hamming_near_pairs
+
+    vals = (
+        images.select("phash").distinct()
+        .withColumn("__v", F.col("phash"))
+    )
+    return hamming_near_pairs(
+        vals, "__v", "phash", bits=bits, chunks=chunks,
+        max_hamming=max_hamming, max_chunk_df=max_chunk_df,
+    ).select(
+        F.col("a_id").alias("a_hash"),
+        F.col("b_id").alias("b_hash"),
+        "hamming",
+    )
+
+
 def phash_near_pairs(
     images: DataFrame,
     bits: int = 64,
     chunks: int = 8,
     max_hamming: int = 6,
+    max_chunk_df: int | None = None,
 ) -> DataFrame:
     """Near-duplicate IMAGE pairs by perceptual-hash hamming distance — the
     image-payload analog of text SimHash dedup, sharing the pigeonhole
@@ -208,24 +239,55 @@ def phash_near_pairs(
     ``bit_count(xor)`` verifies exactly.  At 10^10 images the chunk value is
     a partition key of the image store; candidates stay bucket-local.
 
-    Scale rule for ``chunks``: the candidate count is
-    Σ_values n_v² per chunk position, so the chunk-value space
-    2^(bits/chunks) must dwarf the corpus-per-bucket — at 10^10 images use
-    chunks=4 (16-bit values, max_hamming ≤ 3) rather than the default 8
-    (8-bit values ⇒ 256-way inverted lists go quadratic), and note aHash
-    values are NOT uniform (flat images cluster near all-0/all-1 hashes):
-    salt the join by a cheap exact-dup pre-collapse (groupBy phash) first —
-    exact duplicates are the mass of the skew.
+    Skew-safe by construction: aHash values are NOT uniform (flat images
+    cluster near all-0/all-1 hashes, and exact duplicates are the mass of
+    any crawl corpus), so the operator first COLLAPSES to one row per
+    distinct phash value, runs the chunk join over values only
+    (:func:`phash_value_pairs` — cost independent of duplicate
+    multiplicity), then expands back through two equi-joins:
+    value-pair × members for cross-value pairs, and a per-value member
+    self-join emitting the hamming-0 pairs.  Output is identical to the
+    naive per-image chunk join (pinned by tests/test_analytics.py).
+
+    Chunk sizing is still geometry: the value-level join is
+    Σ_values n_v² per chunk position over DISTINCT values, so the
+    chunk-value space 2^(bits/chunks) must dwarf the distinct-value count —
+    at 10^10 images prefer chunks=4 (16-bit values, max_hamming ≤ 3) over
+    the default 8, and/or set ``max_chunk_df`` to cap any residual hot
+    chunk-value list (lower-bound semantics, see
+    ``dedup.hamming_near_pairs``).
 
     Input needs (image_id, phash); compose with :func:`ahash_images` when
     the phash column is not materialized yet.
     """
-    from crawler_spark.operators.dedup import hamming_near_pairs
-
-    return hamming_near_pairs(
-        images, "image_id", "phash", bits=bits, chunks=chunks,
-        max_hamming=max_hamming,
+    members = images.select("image_id", "phash")
+    vp = phash_value_pairs(
+        members, bits=bits, chunks=chunks, max_hamming=max_hamming,
+        max_chunk_df=max_chunk_df,
     )
+    cross = (
+        vp.join(members.alias("ma"), F.col("a_hash") == F.col("ma.phash"))
+        .join(members.alias("mb"), F.col("b_hash") == F.col("mb.phash"))
+        .select(
+            F.least("ma.image_id", "mb.image_id").alias("a_id"),
+            F.greatest("ma.image_id", "mb.image_id").alias("b_id"),
+            "hamming",
+        )
+    )
+    intra = (
+        members.alias("x")
+        .join(
+            members.alias("y"),
+            (F.col("x.phash") == F.col("y.phash"))
+            & (F.col("x.image_id") < F.col("y.image_id")),
+        )
+        .select(
+            F.col("x.image_id").alias("a_id"),
+            F.col("y.image_id").alias("b_id"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 # video container for the frame pipeline: "VID0" + u32 n + n×(u32 len ‖ PNG)

@@ -95,10 +95,19 @@ def ivf_assign(
     that window's exchange shuffles the expanded set (embeddings included)
     once per k-means iteration; this one shuffles nothing.
 
-    Quantizers wider than ``max_inline_centroids`` fall back to a
+    Quantizers wider than ``max_inline_centroids`` — or whose inlined
+    literal mass ``k × dims`` exceeds 32k values (high-dim quantizers would
+    otherwise blow codegen/analysis expression limits) — fall back to a
     relational ``max_by`` partial aggregation (shuffles N rows, not N×k).
     At scale the assignment is a one-off build step and ``cell`` becomes
     the vector table's partition column, so a probe reads one partition.
+
+    Zero-norm vectors (and zero-norm centroids) have no defined cosine;
+    division would poison the argmin with NULL/NaN — NaN sorts ABOVE every
+    real cosine in Spark, so an unguarded fold would send every zero-norm
+    row to an arbitrary cell and a NULL ``cell`` into the k-means mean.
+    Both paths pin their cosine to -1.0 instead, so zero-norm rows
+    deterministically land in the lowest centroid_id cell.
 
     NOTE — eager contract: the ``centroids.collect()`` runs a Spark job at
     CALL time (like the standard k-means driver loop), so composing this
@@ -106,7 +115,8 @@ def ivf_assign(
     errors in it surface here, not at the downstream action.
     """
     rows = centroids.select("centroid_id", "c_embedding").collect()
-    if rows and len(rows) <= max_inline_centroids:
+    dims = len(rows[0].c_embedding) if rows else 0
+    if rows and len(rows) <= max_inline_centroids and len(rows) * dims <= 32768:
         # Hoist the constant folds out of the per-(row × centroid) work:
         # each centroid's norm is computed ONCE here with the exact
         # left-to-right IEEE fold the SQL aggregate would run (Python float
@@ -125,10 +135,16 @@ def ivf_assign(
         structs = []
         for r in sorted(rows, key=lambda r: r.centroid_id):
             arr = _array_lit(list(r.c_embedding))
-            cos = (
-                f"round({_dot('embedding', arr)} / "
-                f"(__qn * CAST({_norm(list(r.c_embedding))!r} AS DOUBLE)), 6)"
-            )
+            cn = _norm(list(r.c_embedding))
+            if cn == 0.0:
+                cos = "CAST(-1.0 AS DOUBLE)"
+            else:
+                cos = (
+                    f"CASE WHEN __qn = CAST(0.0 AS DOUBLE) "
+                    f"THEN CAST(-1.0 AS DOUBLE) "
+                    f"ELSE round({_dot('embedding', arr)} / "
+                    f"(__qn * CAST({cn!r} AS DOUBLE)), 6) END"
+                )
             # max of (cos, -centroid_id) == (cos desc, centroid_id asc) —
             # the same total order the window version used
             structs.append(
@@ -148,7 +164,17 @@ def ivf_assign(
             )
         )
     scored = emb.crossJoin(F.broadcast(centroids))
-    cos = F.round(cosine_expr("embedding", "c_embedding"), 6)
+    # guarded cosine: ANSI mode raises on division by zero, and even with it
+    # off a 0/0 NaN would sort above every real cosine — pin 0-norm to -1
+    # (CASE branches are lazy, so the division never runs on a 0 norm)
+    cos = F.expr(
+        f"CASE WHEN sqrt({_dot('embedding', 'embedding')}) = CAST(0.0 AS DOUBLE)"
+        f"  OR sqrt({_dot('c_embedding', 'c_embedding')}) = CAST(0.0 AS DOUBLE)"
+        f" THEN CAST(-1.0 AS DOUBLE)"
+        f" ELSE round({_dot('embedding', 'c_embedding')} /"
+        f" (sqrt({_dot('embedding', 'embedding')})"
+        f" * sqrt({_dot('c_embedding', 'c_embedding')})), 6) END"
+    )
     return (
         scored.select("vec_id", "embedding", "centroid_id", cos.alias("__c"))
         .groupBy("vec_id")

@@ -67,7 +67,7 @@ def load_with_quarantine(
         # parquet is self-describing + checksummed; no row-level corruption
         # mode exists — schema enforcement happens via the explicit select
         df = spark.read.parquet(path)
-        cols = [f.split()[0] for f in _ddl_fields(schema_ddl)]
+        cols = _ddl_field_names(schema_ddl)
         return df.select(*cols), spark.createDataFrame(
             [], f"{CORRUPT_COL} string"
         )
@@ -81,5 +81,10 @@ def load_with_quarantine(
     return good, quarantine
 
 
-def _ddl_fields(schema_ddl: str) -> list[str]:
-    return [f.strip() for f in schema_ddl.split(",")]
+def _ddl_field_names(schema_ddl: str) -> list[str]:
+    """Top-level column names of a DDL schema string, via Spark's own DDL
+    parser — a naive split on ',' breaks for comma-carrying types
+    (``decimal(20,6)``, ``struct<...>``, ``map<...>``)."""
+    from pyspark.sql.types import StructType
+
+    return StructType.fromDDL(schema_ddl).fieldNames()

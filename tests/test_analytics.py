@@ -523,6 +523,48 @@ def test_image_phash_near_dup_end_to_end(spark):
     assert set(got) == brute
 
 
+def test_phash_near_pairs_exact_dup_skew_stays_linear(spark):
+    """1k images sharing ONE phash (the all-identical crawl-dup worst case
+    aHash skew): the chunk-join candidate stage must see distinct VALUES
+    only — its pair count is independent of duplicate multiplicity — while
+    the expanded output still contains every intra-group hamming-0 pair and
+    every cross-value near pair."""
+    from crawler_spark.operators.multimodal import (
+        phash_near_pairs,
+        phash_value_pairs,
+    )
+
+    H = 0x5A5A_1234_ABCD_0F0F
+    rows = [(f"h{i:04d}", H) for i in range(1000)]
+    rows += [
+        ("v-one", H ^ 0x1),                       # hamming 1 from H
+        ("v-two", H ^ ((1 << 10) | (1 << 20))),   # hamming 2 from H
+        ("far", ((~H) & ((1 << 64) - 1)) - (1 << 64)),  # bitwise-not of H as
+        # signed i64 (phash columns are Spark LONG) — differs in every chunk
+    ]
+    imgs = spark.createDataFrame(rows, "image_id string, phash long")
+
+    # candidate stage: 3 value pairs (H~v-one, H~v-two, v-one~v-two),
+    # whether the hot value has 1 member or 1000
+    assert phash_value_pairs(imgs, bits=64, chunks=8, max_hamming=6).count() == 3
+
+    pairs = phash_near_pairs(imgs, bits=64, chunks=8, max_hamming=6)
+    # C(1000,2) intra hamming-0 + 1000 (H,v-one) + 1000 (H,v-two) + (v-one,v-two)
+    assert pairs.count() == 499500 + 1000 + 1000 + 1
+    by_h = pairs.groupBy("hamming").count().collect()
+    assert {r.hamming: r["count"] for r in by_h} == {
+        0: 499500, 1: 1000, 2: 1000, 3: 1,
+    }
+
+    # max_chunk_df cap applies at the VALUE level (lower-bound semantics)
+    # every chunk list shared by >=2 of the three near values has df >= 2,
+    # so a value-level cap of 1 drops all of them
+    capped = phash_value_pairs(
+        imgs, bits=64, chunks=8, max_hamming=6, max_chunk_df=1
+    )
+    assert capped.count() == 0
+
+
 def test_incremental_lsh_equals_full_restricted(spark):
     """lsh_incremental_pairs over (index(old), new) must equal the full
     lsh_candidate_pairs over old ∪ new restricted to pairs with a new side
@@ -642,3 +684,41 @@ def test_hamming_near_pairs_randomized_completeness(spark):
             if d <= 4:
                 brute[(i, j)] = d
     assert got == brute and len(brute) >= 8
+
+
+def test_ivf_assign_zero_norm_vector_deterministic(spark):
+    """ADVICE-r3: a zero-norm embedding has no cosine; both ivf_assign paths
+    must pin it to the LOWEST centroid_id (cos treated as -1) instead of
+    emitting NULL/NaN-poisoned cells, and kmeans must survive it."""
+    from crawler_spark.operators.similarity import ivf_assign, kmeans_centroids
+
+    emb = spark.createDataFrame(
+        [("z", [0.0, 0.0]), ("a", [1.0, 0.0]), ("b", [0.0, 1.0]),
+         ("c", [0.9, 0.1]), ("d", [0.1, 0.9])],
+        "vec_id string, embedding array<double>",
+    )
+    cent = spark.createDataFrame(
+        [(3, [1.0, 0.0]), (7, [0.0, 1.0])],
+        "centroid_id int, c_embedding array<double>",
+    )
+    # inline (map-side argmin) path
+    inline = {r.vec_id: r.cell for r in ivf_assign(emb, cent).collect()}
+    assert inline["z"] == 3  # lowest centroid_id, deterministic
+    assert inline["a"] == 3 and inline["b"] == 7
+    # max_by fallback path must agree exactly
+    fallback = {
+        r.vec_id: r.cell
+        for r in ivf_assign(emb, cent, max_inline_centroids=1).collect()
+    }
+    assert fallback == inline
+    # zero-norm CENTROID: every real vector prefers the real centroid;
+    # the zero vector ties both at -1 and takes the lowest id
+    zc = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0])],
+        "centroid_id int, c_embedding array<double>",
+    )
+    got = {r.vec_id: r.cell for r in ivf_assign(emb, zc).collect()}
+    assert got == {"z": 1, "a": 2, "b": 2, "c": 2, "d": 2}
+    # and the full training loop survives a zero-norm row without a
+    # None-cell crash
+    assert kmeans_centroids(emb, k=2, iters=2, seed="km1").count() >= 1

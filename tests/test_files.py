@@ -57,3 +57,20 @@ def test_parquet_path_enforces_projection(spark):
     )
     assert good.columns == ["doc_id", "text"]
     assert quarantine.count() == 0
+
+
+def test_parquet_ingest_comma_carrying_types(spark, tmp_path):
+    """ADVICE-r3: DDL schemas whose types contain commas (decimal(20,6),
+    struct<...>) must parse to the right column names for the parquet
+    branch (a naive split on ',' turned '6)' into a column name)."""
+    from crawler_spark.sources.files import load_with_quarantine
+
+    p = str(tmp_path / "t.parquet")
+    spark.sql(
+        "SELECT CAST(1.5 AS decimal(20,6)) AS amount, "
+        "named_struct('a', 1, 'b', 'x') AS meta, 'k1' AS key"
+    ).write.parquet(p)
+    ddl = "amount decimal(20,6), meta struct<a:int,b:string>, key string"
+    good, quarantine = load_with_quarantine(spark, p, ddl, fmt="parquet")
+    assert good.columns == ["amount", "meta", "key"]
+    assert good.count() == 1 and quarantine.count() == 0
