@@ -47,6 +47,9 @@ DEFER_TO_TAIL = [
     "w1_listing_snapshot",
     "a4_max_over_paginator",
     "s12_state_recovery",
+    # ninth slot: registry grew to 59 this round (image_phash_incremental,
+    # which as a new query must sit inside the window)
+    "j3_chosen_semijoin",
 ]
 
 

@@ -352,6 +352,33 @@ def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text") -> DataFram
     return v.select("doc_id", F.expr(acc).alias("simhash"))
 
 
+def hash_chunk_rows(
+    df: DataFrame,
+    keep_cols: list[str],
+    hash_col: str,
+    bits: int,
+    chunks: int,
+) -> DataFrame:
+    """Explode a ``bits``-bit integer hash column into its ``chunks``
+    pigeonhole chunks: one row per (input row, chunk position) carrying
+    ``chunk_id`` and ``chunk_val``.  The shared inverted-index row shape of
+    :func:`hamming_near_pairs` and the persisted incremental phash index
+    (operators.multimodal.phash_value_index).  Masking after the shift makes
+    the chunk values identical whether the engine's ``>>`` sign-extends."""
+    w = bits // chunks
+    mask = (1 << w) - 1
+    chunk_cols = [
+        F.struct(
+            F.lit(j).alias("chunk_id"),
+            F.expr(f"({hash_col} >> {j * w}) & {mask}").alias("chunk_val"),
+        )
+        for j in range(chunks)
+    ]
+    return df.select(
+        *keep_cols, hash_col, F.explode(F.array(*chunk_cols)).alias("c")
+    ).select(*keep_cols, hash_col, "c.chunk_id", "c.chunk_val")
+
+
 def hamming_near_pairs(
     df: DataFrame,
     id_col: str,
@@ -383,18 +410,7 @@ def hamming_near_pairs(
     """
     if max_hamming > chunks - 1:
         raise ValueError("pigeonhole requires max_hamming <= chunks - 1")
-    w = bits // chunks
-    mask = (1 << w) - 1
-    chunk_cols = [
-        F.struct(
-            F.lit(j).alias("chunk_id"),
-            F.expr(f"({hash_col} >> {j * w}) & {mask}").alias("chunk_val"),
-        )
-        for j in range(chunks)
-    ]
-    chunked = df.select(
-        id_col, hash_col, F.explode(F.array(*chunk_cols)).alias("c")
-    ).select(id_col, hash_col, "c.chunk_id", "c.chunk_val")
+    chunked = hash_chunk_rows(df, [id_col], hash_col, bits, chunks)
     if max_chunk_df is not None:
         cold = (
             chunked.groupBy("chunk_id", "chunk_val")

@@ -290,6 +290,116 @@ def phash_near_pairs(
     return cross.unionByName(intra)
 
 
+def phash_value_index(
+    images: DataFrame, bits: int = 64, chunks: int = 8
+) -> DataFrame:
+    """The persisted incremental-dedup index for image perceptual hashes:
+    chunk rows (phash, chunk_id, chunk_val) over the corpus's DISTINCT
+    phash values — the image analog of ``dedup.lsh_band_rows``.
+
+    Value-level on purpose: the index grows with distinct hash values, not
+    with images (exact crawl duplicates — the mass of any image corpus —
+    add nothing), and each row is three small ints, so at 10^10 images the
+    index is a compact chunk-partitionable table appended per crawl batch.
+    Image membership (image_id → phash) needs no extra storage — it is the
+    image store itself."""
+    from crawler_spark.operators.dedup import hash_chunk_rows
+
+    vals = images.select("phash").distinct()
+    return hash_chunk_rows(vals, [], "phash", bits, chunks)
+
+
+def phash_incremental_pairs(
+    index: DataFrame,
+    old_members: DataFrame,
+    new_images: DataFrame,
+    bits: int = 64,
+    chunks: int = 8,
+    max_hamming: int = 6,
+    max_chunk_df: int | None = None,
+) -> DataFrame:
+    """Incremental image near-dup detection: pairs involving at least one
+    NEW image, by probing a persisted :func:`phash_value_index` — the
+    production shape of :func:`phash_near_pairs` at corpus scale, where
+    re-joining all 10^10 stored hashes per crawl batch is the cost you must
+    not pay.  Image analog of ``dedup.lsh_incremental_pairs``.
+
+    ``index``: phash_value_index over the EXISTING corpus (a stored table;
+    appended per batch).  ``old_members``/``new_images``: (image_id, phash)
+    of the existing corpus and the new batch; image_ids must be globally
+    unique.  Per-batch cost is O(new·chunks) chunking plus a join whose
+    probe side is the new batch's distinct values — a new image whose phash
+    was already seen still probes correctly because the probe side carries
+    every value the new batch touches.  Equals phash_near_pairs(old ∪ new)
+    restricted to pairs with a new side (pinned by tests/test_analytics.py);
+    inherits the value-level skew safety and the ``max_chunk_df`` cap
+    (lower-bound semantics, applied to the combined value lists)."""
+    from crawler_spark.operators.dedup import hash_chunk_rows
+
+    new_members = new_images.select("image_id", "phash")
+    new_chunks = hash_chunk_rows(
+        new_members.select("phash").distinct(), [], "phash", bits, chunks
+    )
+    all_chunks = index.unionByName(new_chunks).distinct()
+    if max_chunk_df is not None:
+        cold = (
+            all_chunks.groupBy("chunk_id", "chunk_val")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_chunk_df)
+            .select("chunk_id", "chunk_val")
+        )
+        all_chunks = all_chunks.join(
+            cold, on=["chunk_id", "chunk_val"], how="left_semi"
+        )
+        new_chunks = new_chunks.join(
+            cold, on=["chunk_id", "chunk_val"], how="left_semi"
+        )
+    a, b = new_chunks.alias("a"), all_chunks.alias("b")
+    vp = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.phash") != F.col("b.phash")),
+        )
+        .select(
+            F.least("a.phash", "b.phash").alias("a_hash"),
+            F.greatest("a.phash", "b.phash").alias("b_hash"),
+            F.expr("bit_count(a.phash ^ b.phash)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    members = old_members.select("image_id", "phash").withColumn(
+        "is_new", F.lit(False)
+    ).unionByName(new_members.withColumn("is_new", F.lit(True)))
+    cross = (
+        vp.join(members.alias("ma"), F.col("a_hash") == F.col("ma.phash"))
+        .join(members.alias("mb"), F.col("b_hash") == F.col("mb.phash"))
+        .filter(F.col("ma.is_new") | F.col("mb.is_new"))
+        .select(
+            F.least("ma.image_id", "mb.image_id").alias("a_id"),
+            F.greatest("ma.image_id", "mb.image_id").alias("b_id"),
+            "hamming",
+        )
+    )
+    intra = (
+        members.alias("x")
+        .join(
+            members.alias("y"),
+            (F.col("x.phash") == F.col("y.phash"))
+            & (F.col("x.image_id") < F.col("y.image_id"))
+            & (F.col("x.is_new") | F.col("y.is_new")),
+        )
+        .select(
+            F.col("x.image_id").alias("a_id"),
+            F.col("y.image_id").alias("b_id"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross.unionByName(intra)
+
+
 # video container for the frame pipeline: "VID0" + u32 n + n×(u32 len ‖ PNG)
 _VID_MAGIC = b"VID0"
 

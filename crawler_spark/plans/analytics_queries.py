@@ -1209,6 +1209,66 @@ FROM cand WHERE hamming <= 4
 """
 
 
+def q_image_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental image phash dedup — probe a persisted value-level chunk
+    index with a new crawl batch only (operators.multimodal.
+    phash_incremental_pairs), the image analog of dedup_minhash_incremental.
+    Same planted corpus as image_phash_neardup, split old/new on doc_id % 3;
+    the result is the full near-pair set restricted to pairs with a new
+    side, which is exactly what the oracle computes relationally."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.concat(F.lit("img-"), F.col("doc_id").cast("string")).alias(
+            "image_id"
+        ),
+        F.expr(_phash_nib_sum("spark")).alias("phash"),
+    )
+    variants = base.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        F.concat("image_id", F.lit("-v")).alias("image_id"),
+        F.expr("phash ^ CAST(3 AS BIGINT)").alias("phash"),
+    )
+    imgs = base.unionByName(variants)
+    old = imgs.filter(F.col("doc_id") % 3 != 0).select("image_id", "phash")
+    new = imgs.filter(F.col("doc_id") % 3 == 0).select("image_id", "phash")
+    index = MM.phash_value_index(old, bits=60, chunks=10)
+    pairs = MM.phash_incremental_pairs(
+        index, old, new, bits=60, chunks=10, max_hamming=4
+    )
+    return pairs.select(
+        "a_id", "b_id", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+SQL_IMAGE_PHASH_INCREMENTAL = f"""
+WITH base AS (
+  SELECT doc_id, 'img-' || CAST(doc_id AS VARCHAR) AS image_id,
+         {_phash_nib_sum("duckdb")} AS phash
+  FROM documents),
+imgs AS (
+  SELECT doc_id, image_id, phash FROM base
+  UNION ALL
+  SELECT doc_id, image_id || '-v' AS image_id,
+         xor(phash, CAST(3 AS BIGINT)) AS phash
+  FROM base WHERE doc_id % 7 = 0),
+flagged AS (
+  SELECT image_id, phash, (doc_id % 3 = 0) AS is_new FROM imgs),
+chunked AS (
+  SELECT image_id, phash, is_new, j AS chunk_id,
+         (phash >> (j * 6)) & 63 AS chunk_val
+  FROM flagged CROSS JOIN generate_series(0, 9) t(j)),
+cand AS (
+  SELECT DISTINCT a.image_id AS a_id, b.image_id AS b_id,
+         bit_count(xor(a.phash, b.phash)) AS hamming
+  FROM chunked a JOIN chunked b
+    ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+   AND a.image_id < b.image_id AND (a.is_new OR b.is_new))
+SELECT a_id, b_id, CAST(hamming AS INT) AS hamming
+FROM cand WHERE hamming <= 4
+"""
+
+
 def q_image_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship IMAGE-corpus curation (the north_star's image+caption
     training-data pass, composed like q_corpus_curation): build the
@@ -1442,6 +1502,10 @@ ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "mm_decode_features": (q_mm_decode_features, SQL_MM_DECODE_FEATURES),
     "mm_av_metadata": (q_mm_av_metadata, SQL_MM_AV_METADATA),
     "image_phash_neardup": (q_image_phash_neardup, SQL_IMAGE_PHASH_NEARDUP),
+    "image_phash_incremental": (
+        q_image_phash_incremental,
+        SQL_IMAGE_PHASH_INCREMENTAL,
+    ),
     "image_corpus_curation": (
         q_image_corpus_curation,
         SQL_IMAGE_CORPUS_CURATION,

@@ -100,11 +100,25 @@ class ParquetWarehouse:
         ``as_of_generation`` = time travel (Iceberg `VERSION AS OF` parity,
         the reference's "crawl history = commit log" property §1.4): only
         generations ≤ the bound are visible.
+
+        When a compaction exists (:meth:`compact_appends`) and the read is
+        at-or-after its ``through`` bound, the compacted rewrite replaces
+        the per-generation directories it covers; generations after the
+        bound union on top as usual.  Reads strictly BEFORE the bound use
+        the original generation directories, which compaction keeps on disk
+        until :meth:`expire_compacted` trades that history for storage.
         """
         gens = self.committed_generations()
         if as_of_generation is not None:
             gens = [g for g in gens if g <= as_of_generation]
-        dirs = [
+        comp = self._compaction(table)
+        dirs: list[str] = []
+        if comp is not None and (
+            as_of_generation is None or as_of_generation >= comp["through"]
+        ):
+            dirs.append(str(self.root / table / comp["dir"]))
+            gens = [g for g in gens if g > comp["through"]]
+        dirs += [
             str(self.root / table / f"gen={g}")
             for g in gens
             if (self.root / table / f"gen={g}").exists()
@@ -112,6 +126,109 @@ class ParquetWarehouse:
         if not dirs:
             return None
         return self.spark.read.parquet(*dirs)
+
+    # -- compaction (the small-file problem) ---------------------------------
+
+    def _compaction(self, table: str) -> dict | None:
+        p = self.root / table / "_compaction.json"
+        return json.loads(p.read_text()) if p.exists() else None
+
+    def compact_appends(
+        self,
+        table: str,
+        target_file_bytes: int = 128 << 20,
+        through_generation: int | None = None,
+    ) -> dict:
+        """Rewrite an append table's committed history into few
+        target-sized files — Iceberg's ``rewrite_data_files``.
+
+        Every crawl generation appends ``shuffle.partitions``-many files;
+        after 10^4 generations the union scan opens millions of tiny files
+        and planning/IO dominates — THE operational failure mode of a
+        long-running crawl store.  This rewrites all data ≤
+        ``through_generation`` (default: latest committed) into
+        ``ceil(bytes/target)`` files under ``<table>/compact=<g>/``, then
+        atomically publishes ``_compaction.json`` (os.replace), after which
+        readers substitute the rewrite for the covered generations.  The
+        original directories stay on disk so time travel BEFORE the bound
+        still works; :meth:`expire_compacted` reclaims them.  Idempotent:
+        a crash before the json lands leaves readers on the old view, and
+        re-running restages.  Coalesce, not repartition — a width-only
+        rewrite, no shuffle."""
+        import math
+
+        through = (
+            self.last_generation()
+            if through_generation is None
+            else through_generation
+        )
+        if through is None:
+            raise ValueError(f"no committed generations to compact in {table}")
+        df = self.read_appends(table, as_of_generation=through)
+        if df is None:
+            raise ValueError(f"append table {table} has no data to compact")
+        src_files = self._data_files(table, through)
+        src_bytes = sum(f.stat().st_size for f in src_files)
+        n_files = max(1, math.ceil(src_bytes / target_file_bytes))
+        tmp = self.root / table / ".compact_tmp"
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        df.coalesce(n_files).write.mode("overwrite").parquet(str(tmp))
+        dest = self.root / table / f"compact={through}"
+        if dest.exists():
+            shutil.rmtree(dest)
+        os.replace(tmp, dest)
+        marker = {"through": through, "dir": f"compact={through}"}
+        mtmp = self.root / table / ".compaction.json.tmp"
+        mtmp.write_text(json.dumps(marker))
+        os.replace(mtmp, self.root / table / "_compaction.json")
+        out_files = list(dest.glob("part-*.parquet"))
+        return {
+            "table": table,
+            "through": through,
+            "files_before": len(src_files),
+            "files_after": len(out_files),
+            "bytes_before": src_bytes,
+            "bytes_after": sum(f.stat().st_size for f in out_files),
+        }
+
+    def expire_compacted(self, table: str) -> int:
+        """Delete the per-generation directories (and stale older rewrites)
+        a published compaction supersedes — Iceberg's ``expire_snapshots``.
+        Storage is reclaimed; time travel to generations before the
+        compaction bound is gone (reads there fall back to whatever data
+        remains).  Returns the number of directories removed."""
+        comp = self._compaction(table)
+        if comp is None:
+            return 0
+        removed = 0
+        for g in self.committed_generations():
+            if g > comp["through"]:
+                continue
+            path = self.root / table / f"gen={g}"
+            if path.exists():
+                shutil.rmtree(path)
+                removed += 1
+        for p in (self.root / table).glob("compact=*"):
+            if p.name != comp["dir"]:
+                shutil.rmtree(p)
+                removed += 1
+        return removed
+
+    def _data_files(self, table: str, through: int) -> list[Path]:
+        """Parquet data files currently serving reads ≤ ``through``."""
+        comp = self._compaction(table)
+        dirs: list[Path] = []
+        gens = [g for g in self.committed_generations() if g <= through]
+        if comp is not None and comp["through"] <= through:
+            dirs.append(self.root / table / comp["dir"])
+            gens = [g for g in gens if g > comp["through"]]
+        dirs += [
+            self.root / table / f"gen={g}"
+            for g in gens
+            if (self.root / table / f"gen={g}").exists()
+        ]
+        return [f for d in dirs for f in d.glob("part-*.parquet")]
 
     def read_snapshot(
         self, table: str, as_of_generation: int | None = None

@@ -722,3 +722,71 @@ def test_ivf_assign_zero_norm_vector_deterministic(spark):
     # and the full training loop survives a zero-norm row without a
     # None-cell crash
     assert kmeans_centroids(emb, k=2, iters=2, seed="km1").count() >= 1
+
+
+def test_phash_incremental_equals_full_restricted(spark):
+    """phash_incremental_pairs over (index(old), old, new) must equal the
+    full phash_near_pairs over old ∪ new restricted to pairs with a new
+    side — including hamming-0 pairs that straddle the batch boundary and
+    a NEW image whose phash value already exists in the index (the probe
+    side must carry every value the new batch touches, seen or not)."""
+    import random
+
+    from crawler_spark.operators.multimodal import (
+        phash_incremental_pairs,
+        phash_near_pairs,
+        phash_value_index,
+    )
+
+    rng = random.Random(7)
+    base_vals = [rng.getrandbits(59) for _ in range(30)]
+    rows = []
+    for i, v in enumerate(base_vals):
+        rows.append((f"i{i:03d}", v))
+        if i % 5 == 0:
+            rows.append((f"i{i:03d}-near", v ^ (1 << (i % 59))))  # hamming 1
+        if i % 7 == 0:
+            rows.append((f"i{i:03d}-dup", v))  # exact dup, hamming 0
+    # forced boundary case: a new-batch image carrying an OLD value
+    rows.append(("zz-new-oldval", base_vals[1]))
+
+    def is_new(image_id: str) -> bool:
+        return image_id.startswith("zz-") or (hash_det(image_id) % 3 == 0)
+
+    def hash_det(s: str) -> int:
+        import hashlib
+
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    old_rows = [r for r in rows if not is_new(r[0])]
+    new_rows = [r for r in rows if is_new(r[0])]
+    assert old_rows and new_rows
+    schema = "image_id string, phash long"
+    all_df = spark.createDataFrame(rows, schema)
+    old_df = spark.createDataFrame(old_rows, schema)
+    new_df = spark.createDataFrame(new_rows, schema)
+
+    full = {
+        (r.a_id, r.b_id): r.hamming
+        for r in phash_near_pairs(
+            all_df, bits=60, chunks=10, max_hamming=4
+        ).collect()
+    }
+    new_ids = {r[0] for r in new_rows}
+    want = {
+        k: v for k, v in full.items() if k[0] in new_ids or k[1] in new_ids
+    }
+    got = {
+        (r.a_id, r.b_id): r.hamming
+        for r in phash_incremental_pairs(
+            phash_value_index(old_df, bits=60, chunks=10),
+            old_df,
+            new_df,
+            bits=60,
+            chunks=10,
+            max_hamming=4,
+        ).collect()
+    }
+    assert got == want and any(v == 0 for v in want.values())
+    # the boundary image found its old-value exact dup
+    assert any("zz-new-oldval" in k and v == 0 for k, v in got.items())
