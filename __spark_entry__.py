@@ -47,9 +47,11 @@ DEFER_TO_TAIL = [
     "w1_listing_snapshot",
     "a4_max_over_paginator",
     "s12_state_recovery",
-    # ninth slot: registry grew to 59 this round (image_phash_incremental,
-    # which as a new query must sit inside the window)
+    # ninth + tenth slots: registry grew to 60 this round
+    # (image_phash_incremental, image_dedup_representatives — new queries
+    # must sit inside the window)
     "j3_chosen_semijoin",
+    "s7_listing_expand",
 ]
 
 

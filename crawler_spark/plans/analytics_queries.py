@@ -1269,6 +1269,112 @@ FROM cand WHERE hamming <= 4
 """
 
 
+def q_image_dedup_representatives(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """End-to-end image dedup curation: phash near-pairs → connected
+    components → keep ONE best-resolution representative per duplicate
+    cluster — the pass a training-data pipeline runs after pair generation,
+    composing operators.multimodal.phash_near_pairs with
+    operators.dedup.connected_components.  Resolution is planted
+    deterministically (variants are always low-res, so the base image must
+    win its cluster); representative choice is total-ordered
+    (pixels DESC, image_id ASC) so both engines pick the same row.
+    Singleton images (no near-dup) form their own cluster via the left
+    join + coalesce, exactly like the oracle's LEFT JOIN on reachability."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.concat(F.lit("img-"), F.col("doc_id").cast("string")).alias(
+            "image_id"
+        ),
+        F.expr(_phash_nib_sum("spark")).alias("phash"),
+        (F.lit(640) + (F.col("doc_id") % 5) * 160).cast("long").alias("w"),
+        (F.lit(480) + (F.col("doc_id") % 3) * 120).cast("long").alias("h"),
+    )
+    variants = base.filter(F.col("doc_id") % 7 == 0).select(
+        F.concat("image_id", F.lit("-v")).alias("image_id"),
+        F.expr("phash ^ CAST(3 AS BIGINT)").alias("phash"),
+        F.lit(320).cast("long").alias("w"),
+        F.lit(240).cast("long").alias("h"),
+    )
+    imgs = base.select("image_id", "phash", "w", "h").unionByName(variants)
+    pairs = MM.phash_near_pairs(
+        imgs.select("image_id", "phash"), bits=60, chunks=10, max_hamming=4
+    )
+    comp = DD.connected_components(pairs).withColumnRenamed(
+        "doc_id", "image_id"
+    )
+    labeled = (
+        imgs.join(comp, "image_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "image_id"))
+        .withColumn("pixels", (F.col("w") * F.col("h")).cast("long"))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("pixels").desc(), F.col("image_id").asc()
+    )
+    ranked = labeled.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("n_images"),
+        F.min(F.when(F.col("rn") == 1, F.col("image_id"))).alias(
+            "kept_image_id"
+        ),
+        F.min(F.when(F.col("rn") == 1, F.col("pixels")))
+        .cast("long")
+        .alias("kept_pixels"),
+    )
+
+
+SQL_IMAGE_DEDUP_REPRESENTATIVES = f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, 'img-' || CAST(doc_id AS VARCHAR) AS image_id,
+         {_phash_nib_sum("duckdb")} AS phash,
+         CAST(640 + (doc_id % 5) * 160 AS BIGINT) AS w,
+         CAST(480 + (doc_id % 3) * 120 AS BIGINT) AS h
+  FROM documents),
+imgs AS (
+  SELECT image_id, phash, w, h FROM base
+  UNION ALL
+  SELECT image_id || '-v' AS image_id, xor(phash, CAST(3 AS BIGINT)) AS phash,
+         CAST(320 AS BIGINT) AS w, CAST(240 AS BIGINT) AS h
+  FROM base WHERE doc_id % 7 = 0),
+chunked AS (
+  SELECT image_id, phash, j AS chunk_id, (phash >> (j * 6)) & 63 AS chunk_val
+  FROM imgs CROSS JOIN generate_series(0, 9) t(j)),
+pairs AS (
+  SELECT DISTINCT a.image_id AS a_id, b.image_id AS b_id
+  FROM chunked a JOIN chunked b
+    ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+   AND a.image_id < b.image_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 4),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION
+  SELECT b_id AS src, a_id AS dst FROM pairs),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+labels AS (
+  SELECT i.image_id,
+         coalesce(least(i.image_id, min(r.dst)), i.image_id) AS cluster_id
+  FROM imgs i LEFT JOIN reach r ON r.src = i.image_id
+  GROUP BY i.image_id),
+ranked AS (
+  SELECT l.cluster_id, i.image_id, i.w * i.h AS pixels,
+         row_number() OVER (PARTITION BY l.cluster_id
+                            ORDER BY i.w * i.h DESC, i.image_id ASC) AS rn
+  FROM imgs i JOIN labels l ON l.image_id = i.image_id)
+SELECT cluster_id,
+       CAST(count(*) AS BIGINT) AS n_images,
+       min(CASE WHEN rn = 1 THEN image_id END) AS kept_image_id,
+       CAST(min(CASE WHEN rn = 1 THEN pixels END) AS BIGINT) AS kept_pixels
+FROM ranked GROUP BY cluster_id
+"""
+
+
 def q_image_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship IMAGE-corpus curation (the north_star's image+caption
     training-data pass, composed like q_corpus_curation): build the
@@ -1505,6 +1611,10 @@ ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "image_phash_incremental": (
         q_image_phash_incremental,
         SQL_IMAGE_PHASH_INCREMENTAL,
+    ),
+    "image_dedup_representatives": (
+        q_image_dedup_representatives,
+        SQL_IMAGE_DEDUP_REPRESENTATIVES,
     ),
     "image_corpus_curation": (
         q_image_corpus_curation,
