@@ -309,6 +309,235 @@ def ivf_topk(
     )
 
 
+def _l2_sql(x_sq: str, xy: str, y_sq: str) -> str:
+    """Squared L2 via dot products, fixed association ((x·x − 2·x·y) + y·y)
+    so Spark, DuckDB, and the Python LUT builder run the identical IEEE op
+    sequence.  The leading ``0.0 −`` in callers that negate avoids −0.0."""
+    return f"(({x_sq} - CAST(2.0 AS DOUBLE) * {xy}) + {y_sq})"
+
+
+def _py_dot(a: list[float], b: list[float]) -> float:
+    """Left-to-right IEEE fold — bit-equal to ``_dot`` / list_dot_product."""
+    acc = 0.0
+    for p, q in zip(a, b):
+        acc = acc + (p * q)
+    return acc
+
+
+def _py_l2(a: list[float], b: list[float]) -> float:
+    return (_py_dot(a, a) - 2.0 * _py_dot(a, b)) + _py_dot(b, b)
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    m: int = 2,
+    ksub: int = 4,
+    iters: int = 1,
+    seed: str = "pq1",
+) -> DataFrame:
+    """Train a product-quantization codebook: split the embedding into ``m``
+    contiguous subspaces and run seeded k-means (L2, ``ksub`` codewords,
+    ``iters`` refinement passes) independently in each.
+
+    PQ is the 100-TB ANN memory story: a D-dim float32 vector (4·D bytes)
+    compresses to ``m`` small codes (m bytes at ksub ≤ 256), so a
+    billion-vector index fits executor memory and distance evaluation
+    becomes ``m`` table lookups instead of a D-wide dot product (Jégou et
+    al., "Product Quantization for Nearest Neighbor Search", TPAMI 2011).
+
+    Fully deterministic and engine-portable, like :func:`kmeans_centroids`:
+    per-subspace init = the ``ksub`` sub-vectors with the smallest
+    ``md5(seed:m:vec_id)``; assignment = argmin of round(L2², 6) with ties
+    to the lowest code; update = per-dimension DECIMAL mean rounded to 6
+    (order-independent), so a DuckDB oracle reproduces the exact codebook.
+    Cells that lose every member drop out in both engines alike.
+
+    Eager contract: the driver loop collects per iteration (standard
+    k-means shape) — small data only (m·ksub codewords).
+
+    Returns (subspace:int, code_id:int, codeword:array<double>).
+    """
+    first = emb.select("embedding").first()
+    if first is None:
+        return emb.sparkSession.createDataFrame(
+            [], "subspace int, code_id int, codeword array<double>"
+        )
+    dims = len(first.embedding)
+    if dims % m != 0:
+        raise ValueError(f"dims {dims} not divisible by m={m} subspaces")
+    d = dims // m
+    rows_out: list[tuple[int, int, list[float]]] = []
+    for mi in range(m):
+        sub = emb.select(
+            "vec_id",
+            F.expr(f"slice(embedding, {mi * d + 1}, {d})").alias("sv"),
+        )
+        h = F.md5(
+            F.concat(F.lit(f"{seed}:{mi}:"), F.col("vec_id").cast("string"))
+        )
+        seed_rows = sorted(
+            sub.withColumn("__h", h).orderBy("__h", "vec_id").limit(ksub).collect(),
+            key=lambda r: (r["__h"], r["vec_id"]),
+        )
+        cw = {i: [float(v) for v in r["sv"]] for i, r in enumerate(seed_rows)}
+        for _ in range(iters):
+            assigned = _pq_assign_sub(sub, cw)
+            means = (
+                assigned.select(
+                    "code", F.posexplode("sv").alias("pos", "val")
+                )
+                .groupBy("code", "pos")
+                .agg(
+                    F.round(
+                        F.sum(F.col("val").cast("decimal(24,12)")).cast(
+                            "double"
+                        )
+                        / F.count("*"),
+                        6,
+                    ).alias("cval")
+                )
+                .collect()
+            )
+            nxt: dict[int, list[float]] = {}
+            for r in means:
+                nxt.setdefault(r["code"], [0.0] * d)[r["pos"]] = r["cval"]
+            cw = nxt
+        rows_out.extend((mi, c, v) for c, v in sorted(cw.items()))
+    return emb.sparkSession.createDataFrame(
+        rows_out, "subspace int, code_id int, codeword array<double>"
+    )
+
+
+def _pq_assign_sub(sub: DataFrame, cw: dict[int, list[float]]) -> DataFrame:
+    """Map-side L2 argmin of ``sv`` against literal codewords — the PQ
+    analog of :func:`ivf_assign`'s inline path (zero shuffle; codebooks are
+    small by construction).  ``(0.0 − round(d2,6))`` negates without ever
+    producing −0.0, so the greatest(struct…) total order is exact."""
+    structs = []
+    for code in sorted(cw):
+        arr = _array_lit(cw[code])
+        nb = _py_dot(cw[code], cw[code])
+        d2 = _l2_sql(
+            "__na", _dot("sv", arr), f"CAST({nb!r} AS DOUBLE)"
+        )
+        structs.append(
+            f"struct((CAST(0.0 AS DOUBLE) - round({d2}, 6)) AS nd, "
+            f"CAST({-code} AS BIGINT) AS nc)"
+        )
+    best = f"greatest({', '.join(structs)})" if len(structs) > 1 else structs[0]
+    return sub.withColumn("__na", F.expr(_dot("sv", "sv"))).withColumn(
+        "code", F.expr(f"CAST(-({best}.nc) AS INT)")
+    ).drop("__na")
+
+
+def pq_encode(emb: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """Encode every vector to its PQ codes — one INT per subspace, picked
+    map-side against the collected codebook literals (zero shuffle, the
+    same deliberate small-collect a broadcast does).  At scale this is the
+    one-off index build; the stored table is (vec_id, codes), m bytes of
+    payload per vector instead of 4·D.
+
+    Returns (vec_id, codes:array<int>) with codes[i] = code in subspace i.
+    """
+    rows = codebooks.select("subspace", "code_id", "codeword").collect()
+    by_sub: dict[int, dict[int, list[float]]] = {}
+    for r in rows:
+        by_sub.setdefault(r["subspace"], {})[r["code_id"]] = [
+            float(v) for v in r["codeword"]
+        ]
+    if not by_sub:
+        raise ValueError("empty codebook")
+    m = max(by_sub) + 1
+    d = len(next(iter(by_sub[0].values())))
+    code_exprs = []
+    for mi in range(m):
+        sv = f"slice(embedding, {mi * d + 1}, {d})"
+        na = _dot(sv, sv)
+        structs = []
+        for code in sorted(by_sub[mi]):
+            cwv = by_sub[mi][code]
+            nb = _py_dot(cwv, cwv)
+            d2 = _l2_sql(na, _dot(sv, _array_lit(cwv)), f"CAST({nb!r} AS DOUBLE)")
+            structs.append(
+                f"struct((CAST(0.0 AS DOUBLE) - round({d2}, 6)) AS nd, "
+                f"CAST({-code} AS BIGINT) AS nc)"
+            )
+        best = (
+            f"greatest({', '.join(structs)})" if len(structs) > 1 else structs[0]
+        )
+        code_exprs.append(f"CAST(-({best}.nc) AS INT)")
+    return emb.select(
+        "vec_id", F.expr(f"array({', '.join(code_exprs)})").alias("codes")
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: per query, distance to every corpus
+    vector ≈ Σ_subspace LUT[subspace][code], where the lookup table holds
+    the exact L2² from the RAW query sub-vector to each codeword.
+
+    The LUTs are built driver-side from the collected queries × codebooks
+    (|Q|·m·ksub doubles — tiny) and broadcast as an array-of-arrays column;
+    each corpus row then folds its m codes through the LUT entirely inside
+    its scan task — O(m) integer adds per (query, vector) pair instead of a
+    D-wide dot product, and the corpus side ships only (vec_id, codes).
+    Entries are scaled-integer e6 (floor(d2·1e6 + 0.5)) so the ADC sum is
+    exact in any order and engine-portable.  Only the final
+    (query_id, vec_id, adc_e6) triple reaches the ranking shuffle.
+
+    Returns (query_id, vec_id, adc_e6, rank), rank by adc ASC, vec_id ASC.
+    """
+    import math
+
+    codes = pq_encode(emb, codebooks)
+    cb_rows = codebooks.select("subspace", "code_id", "codeword").collect()
+    by_sub: dict[int, dict[int, list[float]]] = {}
+    for r in cb_rows:
+        by_sub.setdefault(r["subspace"], {})[r["code_id"]] = [
+            float(v) for v in r["codeword"]
+        ]
+    m = max(by_sub) + 1
+    d = len(next(iter(by_sub[0].values())))
+    q_rows = queries.select("query_id", "q_embedding").collect()
+    lut_rows = []
+    for qr in q_rows:
+        qv = [float(v) for v in qr["q_embedding"]]
+        lut = []
+        for mi in range(m):
+            qs = qv[mi * d : (mi + 1) * d]
+            n_codes = max(by_sub[mi]) + 1
+            row = [0] * n_codes
+            for code, cwv in by_sub[mi].items():
+                row[code] = int(math.floor(_py_l2(qs, cwv) * 1e6 + 0.5))
+            lut.append(row)
+        lut_rows.append((qr["query_id"], lut))
+    qlut = emb.sparkSession.createDataFrame(
+        lut_rows, "query_id long, lut array<array<bigint>>"
+    )
+    adc = F.expr(
+        "aggregate(zip_with(codes, lut, (c, t) -> t[c]), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(qlut))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", adc.alias("adc_e6"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_e6").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc_e6", "rank")
+    )
+
+
 def lsh_bucketed_topk(
     emb: DataFrame,
     queries: DataFrame,

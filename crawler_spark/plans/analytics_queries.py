@@ -662,6 +662,98 @@ FROM ranked WHERE rank <= 5
 """
 
 
+_PQ_M, _PQ_D, _PQ_KSUB, _PQ_ITERS, _PQ_TOPK = 2, 32, 4, 1, 5
+
+
+def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: train per-subspace codebooks (seeded
+    k-means, 1 refinement pass), encode the corpus to m small codes, rank
+    by asymmetric distance (query-to-codeword LUT lookups).  The memory
+    half of the 100-TB ANN story — IVF prunes the scan, PQ shrinks what is
+    scanned: m bytes per vector and O(m) adds per candidate.  Distances
+    are scaled-integer e6 so the ADC sum hashes identically in both
+    engines."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+    )
+    cb = SIM.pq_codebooks(
+        emb, m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS, seed="pq1"
+    )
+    out = SIM.pq_adc_topk(emb, _queries_df(spark, sf_dir), cb, k=_PQ_TOPK)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("adc_e6").cast("long").alias("adc_e6"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def _pq_adc_sql() -> str:
+    def d2(x: str, y: str) -> str:
+        # fixed association ((x·x − 2·x·y) + y·y) — the exact op sequence
+        # similarity._l2_sql / _py_l2 run, so both engines and the Python
+        # LUT builder agree bitwise
+        return (
+            f"((list_dot_product({x}, {x}) - 2.0 * list_dot_product({x}, {y}))"
+            f" + list_dot_product({y}, {y}))"
+        )
+
+    def assign(src: str) -> str:
+        return f"""
+  SELECT vec_id, m, sv, code_id AS code FROM (
+    SELECT s.vec_id, s.m, s.sv, c.code_id,
+           row_number() OVER (PARTITION BY s.vec_id, s.m
+             ORDER BY round({d2('s.sv', 'c.cw')}, 6) ASC,
+                      c.code_id ASC) AS rn
+    FROM sub s JOIN {src} c ON c.m = s.m) WHERE rn = 1"""
+
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sub AS (
+  SELECT vec_id, m, list_slice(v, m * {_PQ_D} + 1, (m + 1) * {_PQ_D}) AS sv
+  FROM e CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m) ms),
+seeds AS (
+  SELECT m, sv, row_number() OVER (PARTITION BY m
+           ORDER BY md5('pq1:' || CAST(m AS VARCHAR) || ':'
+                        || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code_id
+  FROM sub),
+cb0 AS (SELECT m, code_id, sv AS cw FROM seeds WHERE code_id < {_PQ_KSUB}),
+a1 AS ({assign('cb0')}),
+m1 AS (
+  SELECT m, code, pos,
+         round(CAST(sum(CAST(val AS DECIMAL(24,12))) AS DOUBLE)
+               / count(*), 6) AS cval
+  FROM (SELECT m, code, unnest(sv) AS val,
+               unnest(generate_series(1, len(sv))) AS pos
+        FROM a1)
+  GROUP BY m, code, pos),
+cb1 AS (SELECT m, code AS code_id, list(cval ORDER BY pos) AS cw
+        FROM m1 GROUP BY m, code),
+codes AS ({assign('cb1')}),
+lut AS (
+  SELECT s.vec_id AS query_id, s.m, c.code_id,
+         CAST(floor({d2('s.sv', 'c.cw')} * 1e6 + 0.5) AS BIGINT) AS d_e6
+  FROM sub s JOIN cb1 c ON c.m = s.m WHERE s.vec_id < 8),
+adc AS (
+  SELECT l.query_id, co.vec_id, CAST(sum(l.d_e6) AS BIGINT) AS adc_e6
+  FROM codes co JOIN lut l ON l.m = co.m AND l.code_id = co.code
+  WHERE co.vec_id <> l.query_id
+  GROUP BY l.query_id, co.vec_id),
+ranked AS (
+  SELECT query_id, vec_id, adc_e6,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_e6 ASC, vec_id ASC) AS rank
+  FROM adc)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(adc_e6 AS BIGINT) AS adc_e6, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {_PQ_TOPK}
+"""
+
+
+SQL_ANN_PQ_ADC = _pq_adc_sql()
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", "lang", *TS.lang_scores("text")
@@ -1600,6 +1692,7 @@ ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "ann_lsh_bucketed": (q_ann_lsh, SQL_ANN_LSH),
     "ann_ivf_topk": (q_ann_ivf, SQL_ANN_IVF),
     "ann_ivf_nprobe": (q_ann_ivf_nprobe, SQL_ANN_IVF_NPROBE),
+    "ann_pq_adc": (q_ann_pq_adc, SQL_ANN_PQ_ADC),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),

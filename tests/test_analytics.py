@@ -280,6 +280,115 @@ def test_ivf_trained_nprobe_recall_beats_nprobe1(spark):
         assert s <= pool2[qid], f"query {qid}: nprobe=1 pool ⊄ nprobe=2 pool"
 
 
+def _pq_py_codes(emb: dict, by_sub: dict, d: int) -> dict:
+    """Reference PQ encoding: argmin of round(L2², 6), ties → lowest code,
+    replicating the operator's exact fold ((x·x − 2·x·y) + y·y)."""
+    from crawler_spark.operators.similarity import _py_l2
+
+    codes = {}
+    for vid, v in emb.items():
+        cs = []
+        for mi in sorted(by_sub):
+            sv = v[mi * d : (mi + 1) * d]
+            best = min(
+                (round(_py_l2(sv, cw), 6), code)
+                for code, cw in by_sub[mi].items()
+            )
+            cs.append(best[1])
+        codes[vid] = cs
+    return codes
+
+
+def test_pq_encode_matches_python_reference(spark):
+    """pq_encode's map-side argmin must equal the pure-Python reference on
+    every corpus vector — pins the literal-codeword fold, the −0.0-free
+    negation, and the tie order."""
+    from crawler_spark.operators.similarity import pq_codebooks, pq_encode
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    edf = e.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+    )
+    cb = pq_codebooks(edf, m=2, ksub=4, iters=1, seed="pq1")
+    by_sub: dict[int, dict[int, list[float]]] = {}
+    for r in cb.collect():
+        by_sub.setdefault(r.subspace, {})[r.code_id] = [
+            float(x) for x in r.codeword
+        ]
+    assert set(by_sub) == {0, 1}
+    d = len(by_sub[0][next(iter(by_sub[0]))])
+    emb = {r.vec_id: [float(x) for x in r.embedding] for r in edf.collect()}
+    want = _pq_py_codes(emb, by_sub, d)
+    got = {r.vec_id: list(r.codes) for r in pq_encode(edf, cb).collect()}
+    assert got == want
+    for cs in got.values():
+        assert len(cs) == 2 and all(0 <= c < 4 for c in cs)
+
+
+def test_pq_adc_planted_duplicate_attains_min_distance(spark):
+    """A planted exact copy of a query vector shares the query's own codes,
+    so its ADC distance is the per-subspace LUT minimum — no other corpus
+    vector can score lower, and the copy must appear at the top of the
+    ranking (ties only with vectors encoding to the same cells)."""
+    from crawler_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    edf = e.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+    )
+    dup = edf.filter(F.col("vec_id") == 3).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = edf.unionByName(dup)
+    q = edf.filter(F.col("vec_id") == 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    cb = pq_codebooks(edf, m=2, ksub=4, iters=1, seed="pq1")
+    out = pq_adc_topk(corpus, q, cb, k=corpus.count()).collect()
+    by_vec = {r.vec_id: r.adc_e6 for r in out}
+    assert by_vec[1_000_003] == min(by_vec.values())
+
+
+def test_pq_adc_recovers_planted_clusters(spark):
+    """PQ's promise is preserving COARSE structure, not hairline distances
+    (the sf embeddings are near-isotropic, so exact top-5 there is
+    concentration-of-measure noise no quantizer keeps).  Plant 5 tight
+    clusters of 8 deterministic perturbations each; every ADC top-5 hit for
+    a cluster-center query must come from that query's own cluster — even
+    the coarsest 2×4 codebook must separate well-separated clusters."""
+    from crawler_spark.operators.similarity import pq_adc_topk, pq_codebooks
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("cluster"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("bv"),
+    )
+    copies = spark.range(8).select(F.col("id").alias("copy"))
+    corpus = base.crossJoin(copies).select(
+        (F.col("cluster") * 100 + F.col("copy")).alias("vec_id"),
+        F.expr(
+            "transform(bv, (x, i) -> x + CAST(0.01 AS DOUBLE) * copy"
+            " * CAST((i % 3) - 1 AS DOUBLE))"
+        ).alias("embedding"),
+    )
+    q = base.select(
+        F.col("cluster").alias("query_id"), F.col("bv").alias("q_embedding")
+    )
+    cb = pq_codebooks(corpus, m=2, ksub=4, iters=1, seed="pq1")
+    out = pq_adc_topk(corpus, q, cb, k=5).collect()
+    assert len(out) == 25
+    for r in out:
+        assert r.vec_id // 100 == r.query_id, (
+            f"query {r.query_id} pulled {r.vec_id} from another cluster"
+        )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
