@@ -307,6 +307,41 @@ def run_generation(
     return metrics
 
 
+# Clustered-compaction keys per append table — chosen for the table's hot
+# read path, so the one range shuffle per rewrite buys parquet-footer file
+# skipping on every later scan: problems/listing are read per (judge, pid)
+# (W2 main-json reads, recrawl diffs), fetch_log per host + time range
+# (politeness audits).  images/lineage have no selective read path → binpack.
+COMPACT_SORT_KEYS: dict[str, list[str] | None] = {
+    "problems": ["judge", "pid"],
+    "listing": ["judge", "pid"],
+    "fetch_log": ["host", "fetched_at"],
+    "images": None,
+    "lineage": None,
+}
+
+
+def maintain_warehouse(wh: ParquetWarehouse, expire: bool = False) -> dict:
+    """Periodic storage maintenance (the Iceberg rewrite_data_files +
+    expire_snapshots pass a long-lived crawl store needs): compact every
+    committed append table's history into target-size files, clustered per
+    COMPACT_SORT_KEYS.  ``expire`` additionally reclaims the superseded
+    per-generation dirs — trading time travel before the compaction bound
+    for storage, exactly like snapshot expiry."""
+    stats = {}
+    for table, keys in COMPACT_SORT_KEYS.items():
+        if not (wh.root / table).exists():
+            continue
+        m = wh.compact_appends(table, sort_by=keys)
+        if expire:
+            m["expired_dirs"] = wh.expire_compacted(table)
+        stats[table] = {
+            "files": f"{m['files_before']}->{m['files_after']}",
+            "through": m["through"],
+        }
+    return stats
+
+
 def run_crawl(
     spark: SparkSession,
     warehouse_dir: str,
@@ -316,9 +351,14 @@ def run_crawl(
     num_buckets: int = 16,
     run_id: str = "run0",
     seen_buckets: int = 0,
+    compact_every: int = 0,
+    expire: bool = False,
 ) -> list[dict]:
     """Driver loop with resume: continues after the last committed
-    generation (idempotent under kill/restart)."""
+    generation (idempotent under kill/restart).  ``compact_every`` > 0 runs
+    :func:`maintain_warehouse` after every Nth committed generation — the
+    small-file problem is per-generation directories × 10^4 generations, so
+    a real deployment compacts as it crawls, not as an afterthought."""
     wh = ParquetWarehouse(warehouse_dir, spark)
     start = (wh.last_generation() + 1) if wh.last_generation() is not None else 0
     out = []
@@ -330,6 +370,9 @@ def run_crawl(
             )
         )
         print(f"[crawler_spark] committed generation {g}: {out[-1]}")
+        if compact_every and (g + 1) % compact_every == 0:
+            stats = maintain_warehouse(wh, expire=expire)
+            print(f"[crawler_spark] compacted after generation {g}: {stats}")
     return out
 
 
@@ -348,6 +391,16 @@ def main() -> None:
         help="bucketBy(N, judge, pid) the url_seen snapshots (co-located "
              "selection join; 0 = plain parquet)",
     )
+    ap.add_argument(
+        "--compact-every", type=int, default=0,
+        help="compact append tables (sort-clustered per hot read path) "
+             "after every N committed generations (0 = never)",
+    )
+    ap.add_argument(
+        "--expire-compacted", action="store_true",
+        help="after each compaction, reclaim the superseded per-generation "
+             "dirs (trades pre-bound time travel for storage)",
+    )
     args = ap.parse_args()
 
     from crawler_spark.session import get_spark
@@ -359,6 +412,8 @@ def main() -> None:
     metrics = run_crawl(
         spark, args.warehouse, web, args.generations, args.limit, args.buckets,
         seen_buckets=args.seen_buckets,
+        compact_every=args.compact_every,
+        expire=args.expire_compacted,
     )
     print(f"[crawler_spark] done: {metrics}")
 

@@ -208,3 +208,40 @@ def test_bucketed_seen_crawl_matches_plain(spark, web, tmp_path_factory, crawled
     g = wh.last_generation()
     name = wh._bucket_table_name("url_seen", g)
     assert spark.catalog.tableExists(name)
+
+
+def test_compacting_crawl_matches_plain_and_resumes(
+    spark, web, tmp_path_factory, crawled
+):
+    """--compact-every runs sort-clustered compaction inside the loop; the
+    crawl must stay byte-identical to the plain run, expiry must reclaim
+    the per-generation dirs, and resume must keep working on top of a
+    compacted store (new generations union over the rewrite)."""
+    from pathlib import Path
+
+    from crawler_spark.plans.run import run_crawl as rc
+
+    wh_plain, _, _ = crawled
+    whdir = str(tmp_path_factory.mktemp("wh_compact"))
+    rc(spark, whdir, web, generations=GENERATIONS, limit=LIMIT,
+       num_buckets=4, compact_every=1, expire=True)
+    wh = ParquetWarehouse(whdir, spark)
+
+    def probs(w):
+        return sorted(
+            (r.generation, r.judge, r.pid, r.title, r.status, r.crawl_seq)
+            for r in w.read_appends("problems").collect()
+        )
+
+    assert probs(wh) == probs(wh_plain)
+    # compaction published and expiry reclaimed every superseded gen dir
+    assert (Path(whdir) / "problems" / "_compaction.json").exists()
+    assert not list((Path(whdir) / "problems").glob("gen=*"))
+    # resume on the compacted store: generation 2 lands on top of the rewrite
+    rc(spark, whdir, web, generations=GENERATIONS + 1, limit=LIMIT,
+       num_buckets=4)
+    gens = {
+        r.generation
+        for r in wh.read_appends("problems").select("generation").collect()
+    }
+    assert gens == set(range(GENERATIONS + 1))
