@@ -47,12 +47,13 @@ DEFER_TO_TAIL = [
     "w1_listing_snapshot",
     "a4_max_over_paginator",
     "s12_state_recovery",
-    # ninth..eleventh slots: registry grew to 61 this round
-    # (image_phash_incremental, image_dedup_representatives, ann_pq_adc —
-    # new queries must sit inside the window)
+    # ninth..twelfth slots: registry grew to 62 this round
+    # (image_phash_incremental, image_dedup_representatives, ann_pq_adc,
+    # ann_ivf_pq — new queries must sit inside the window)
     "j3_chosen_semijoin",
     "s7_listing_expand",
     "a3_admission_budget",
+    "a5_seen_refresh",
 ]
 
 

@@ -80,6 +80,46 @@ def _array_lit(vals: list[float]) -> str:
     return "array(" + ",".join(f"CAST({v!r} AS DOUBLE)" for v in vals) + ")"
 
 
+def _py_norm(vals: list[float]) -> float:
+    """Left-to-right IEEE norm fold — bit-equal to sqrt(_dot(x, x))."""
+    import math
+
+    acc = 0.0
+    for v in vals:
+        acc = acc + (v * v)
+    return math.sqrt(acc)
+
+
+def _inline_cos_structs(rows) -> list[str]:
+    """Per-centroid ``struct(cos AS c, -centroid_id AS nid)`` literal exprs
+    against a row's ``embedding`` column, ordered by centroid_id.
+
+    Hoists the constant folds out of the per-(row × centroid) work: each
+    centroid's norm is computed ONCE here with the exact left-to-right IEEE
+    fold the SQL aggregate would run (Python float IS an IEEE double; v*v
+    then acc+prod round identically in the same order, and sqrt is correctly
+    rounded in both), and the row norm is the hoisted ``__qn`` column the
+    caller must provide — cutting 3 O(dims) folds per (row, centroid) to
+    1 + 1/k.  Zero-norm rows/centroids pin cos to -1 (see ivf_assign)."""
+    structs = []
+    for r in sorted(rows, key=lambda r: r.centroid_id):
+        arr = _array_lit(list(r.c_embedding))
+        cn = _py_norm(list(r.c_embedding))
+        if cn == 0.0:
+            cos = "CAST(-1.0 AS DOUBLE)"
+        else:
+            cos = (
+                f"CASE WHEN __qn = CAST(0.0 AS DOUBLE) "
+                f"THEN CAST(-1.0 AS DOUBLE) "
+                f"ELSE round({_dot('embedding', arr)} / "
+                f"(__qn * CAST({cn!r} AS DOUBLE)), 6) END"
+            )
+        structs.append(
+            f"struct({cos} AS c, CAST({-r.centroid_id} AS BIGINT) AS nid)"
+        )
+    return structs
+
+
 def ivf_assign(
     emb: DataFrame, centroids: DataFrame, max_inline_centroids: int = 256
 ) -> DataFrame:
@@ -117,39 +157,9 @@ def ivf_assign(
     rows = centroids.select("centroid_id", "c_embedding").collect()
     dims = len(rows[0].c_embedding) if rows else 0
     if rows and len(rows) <= max_inline_centroids and len(rows) * dims <= 32768:
-        # Hoist the constant folds out of the per-(row × centroid) work:
-        # each centroid's norm is computed ONCE here with the exact
-        # left-to-right IEEE fold the SQL aggregate would run (Python float
-        # IS an IEEE double; v*v then acc+prod round identically in the same
-        # order, and sqrt is correctly rounded in both), and the query
-        # norm is one column per row instead of one fold per centroid —
-        # cutting 3 O(dims) folds per (row, centroid) to 1 + 1/k.
-        def _norm(vals: list[float]) -> float:
-            import math
-
-            acc = 0.0
-            for v in vals:
-                acc = acc + (v * v)
-            return math.sqrt(acc)
-
-        structs = []
-        for r in sorted(rows, key=lambda r: r.centroid_id):
-            arr = _array_lit(list(r.c_embedding))
-            cn = _norm(list(r.c_embedding))
-            if cn == 0.0:
-                cos = "CAST(-1.0 AS DOUBLE)"
-            else:
-                cos = (
-                    f"CASE WHEN __qn = CAST(0.0 AS DOUBLE) "
-                    f"THEN CAST(-1.0 AS DOUBLE) "
-                    f"ELSE round({_dot('embedding', arr)} / "
-                    f"(__qn * CAST({cn!r} AS DOUBLE)), 6) END"
-                )
-            # max of (cos, -centroid_id) == (cos desc, centroid_id asc) —
-            # the same total order the window version used
-            structs.append(
-                f"struct({cos} AS c, CAST({-r.centroid_id} AS BIGINT) AS nid)"
-            )
+        structs = _inline_cos_structs(rows)
+        # max of (cos, -centroid_id) == (cos desc, centroid_id asc) —
+        # the same total order the window version used
         best = f"greatest({', '.join(structs)})" if len(structs) > 1 else structs[0]
         return (
             emb.withColumn(
@@ -190,6 +200,70 @@ def ivf_assign(
 
 def _cid_type(centroids: DataFrame) -> str:
     return centroids.schema["centroid_id"].dataType.simpleString()
+
+
+def ivf_probe_cells(
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 1,
+    keep: tuple[str, ...] = (),
+    max_inline_centroids: int = 256,
+) -> DataFrame:
+    """Top-``nprobe`` probe cells per query — **map-side, zero shuffle**.
+
+    The same collected-centroid-literal trick as :func:`ivf_assign`, but
+    top-n instead of argmax: each query row sorts the inline
+    ``struct(cos, -centroid_id)`` array (descending = cos desc, centroid_id
+    asc — the identical total order the window formulation ranked by),
+    slices ``nprobe``, and explodes.  The previous formulation broadcast the
+    centroids into a cross join and ranked with a per-query window — two
+    exchanges that exist only to pick ≤nprobe ints per query; this one
+    computes them inside the query's own scan task.  Quantizers too wide to
+    inline fall back to exactly that broadcast-crossJoin + window.
+
+    ``queries``: (query_id, q_embedding).  Returns (query_id, *keep, cell)
+    with ≤nprobe rows per query; ``keep`` carries extra query columns (e.g.
+    ``q_embedding`` for an exact re-rank) through.
+    """
+    rows = centroids.select("centroid_id", "c_embedding").collect()
+    dims = len(rows[0].c_embedding) if rows else 0
+    qv = queries.select(
+        "query_id", *keep, F.col("q_embedding").alias("embedding")
+    )
+    if rows and len(rows) <= max_inline_centroids and len(rows) * dims <= 32768:
+        structs = _inline_cos_structs(rows)
+        cells = (
+            f"transform(slice(reverse(array_sort(array({', '.join(structs)}))), "
+            f"1, {int(nprobe)}), s -> CAST(-(s.nid) AS {_cid_type(centroids)}))"
+        )
+        return (
+            qv.withColumn(
+                "__qn", F.expr(f"sqrt({_dot('embedding', 'embedding')})")
+            )
+            .select(
+                "query_id", *keep, F.explode(F.expr(cells)).alias("cell")
+            )
+        )
+    # same zero-norm guard as ivf_assign's fallback: pin cos to -1 so the
+    # ranking matches the inline path on degenerate vectors
+    cos = F.expr(
+        f"CASE WHEN sqrt({_dot('embedding', 'embedding')}) = CAST(0.0 AS DOUBLE)"
+        f"  OR sqrt({_dot('c_embedding', 'c_embedding')}) = CAST(0.0 AS DOUBLE)"
+        f" THEN CAST(-1.0 AS DOUBLE)"
+        f" ELSE round({_dot('embedding', 'c_embedding')} /"
+        f" (sqrt({_dot('embedding', 'embedding')})"
+        f" * sqrt({_dot('c_embedding', 'c_embedding')})), 6) END"
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("__c").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        qv.crossJoin(F.broadcast(centroids))
+        .select("query_id", *keep, "centroid_id", cos.alias("__c"))
+        .withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", *keep, F.col("centroid_id").alias("cell"))
+    )
 
 
 def kmeans_centroids(
@@ -275,25 +349,7 @@ def ivf_topk(
     buys recall at linear candidate cost (the standard IVF knob).
     """
     e = ivf_assign(emb, centroids)
-    qv = queries.select(
-        F.col("query_id").alias("vec_id"),
-        F.col("q_embedding").alias("embedding"),
-    )
-    scored = qv.crossJoin(F.broadcast(centroids))
-    cos = F.round(cosine_expr("embedding", "c_embedding"), 6)
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("__c").desc(), F.col("centroid_id").asc()
-    )
-    q = (
-        scored.select("vec_id", "embedding", "centroid_id", cos.alias("__c"))
-        .withColumn("__rn", F.row_number().over(w_assign))
-        .filter(F.col("__rn") <= nprobe)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_embedding"),
-            F.col("centroid_id").alias("cell"),
-        )
-    )
+    q = ivf_probe_cells(queries, centroids, nprobe, keep=("q_embedding",))
     cand = e.join(F.broadcast(q), "cell").filter(
         F.col("vec_id") != F.col("query_id")
     )
@@ -430,14 +486,17 @@ def _pq_assign_sub(sub: DataFrame, cw: dict[int, list[float]]) -> DataFrame:
     ).drop("__na")
 
 
-def pq_encode(emb: DataFrame, codebooks: DataFrame) -> DataFrame:
+def pq_encode(
+    emb: DataFrame, codebooks: DataFrame, keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Encode every vector to its PQ codes — one INT per subspace, picked
     map-side against the collected codebook literals (zero shuffle, the
     same deliberate small-collect a broadcast does).  At scale this is the
     one-off index build; the stored table is (vec_id, codes), m bytes of
     payload per vector instead of 4·D.
 
-    Returns (vec_id, codes:array<int>) with codes[i] = code in subspace i.
+    Returns (vec_id, *keep, codes:array<int>) with codes[i] = the code in
+    subspace i; ``keep`` carries extra columns (e.g. the IVF cell) through.
     """
     rows = codebooks.select("subspace", "code_id", "codeword").collect()
     by_sub: dict[int, dict[int, list[float]]] = {}
@@ -467,7 +526,52 @@ def pq_encode(emb: DataFrame, codebooks: DataFrame) -> DataFrame:
         )
         code_exprs.append(f"CAST(-({best}.nc) AS INT)")
     return emb.select(
-        "vec_id", F.expr(f"array({', '.join(code_exprs)})").alias("codes")
+        "vec_id",
+        *keep,
+        F.expr(f"array({', '.join(code_exprs)})").alias("codes"),
+    )
+
+
+def _collect_codebooks(
+    codebooks: DataFrame,
+) -> tuple[dict[int, dict[int, list[float]]], int, int]:
+    """Collect (subspace → code_id → codeword); returns (by_sub, m, d)."""
+    rows = codebooks.select("subspace", "code_id", "codeword").collect()
+    by_sub: dict[int, dict[int, list[float]]] = {}
+    for r in rows:
+        by_sub.setdefault(r["subspace"], {})[r["code_id"]] = [
+            float(v) for v in r["codeword"]
+        ]
+    if not by_sub:
+        raise ValueError("empty codebook")
+    m = max(by_sub) + 1
+    d = len(next(iter(by_sub[0].values())))
+    return by_sub, m, d
+
+
+def _query_luts(
+    spark, queries: DataFrame, by_sub: dict, m: int, d: int
+) -> DataFrame:
+    """Build the per-query ADC lookup tables driver-side: lut[mi][code] =
+    floor(L2²(q_sub, codeword)·1e6 + 0.5) as exact integers (order-free
+    summation + engine portability).  |Q|·m·ksub entries — tiny; dropped
+    codes hold a 0 filler that no emitted code ever references."""
+    import math
+
+    q_rows = queries.select("query_id", "q_embedding").collect()
+    lut_rows = []
+    for qr in q_rows:
+        qv = [float(v) for v in qr["q_embedding"]]
+        lut = []
+        for mi in range(m):
+            qs = qv[mi * d : (mi + 1) * d]
+            row = [0] * (max(by_sub[mi]) + 1)
+            for code, cwv in by_sub[mi].items():
+                row[code] = int(math.floor(_py_l2(qs, cwv) * 1e6 + 0.5))
+            lut.append(row)
+        lut_rows.append((qr["query_id"], lut))
+    return spark.createDataFrame(
+        lut_rows, "query_id long, lut array<array<bigint>>"
     )
 
 
@@ -492,33 +596,9 @@ def pq_adc_topk(
 
     Returns (query_id, vec_id, adc_e6, rank), rank by adc ASC, vec_id ASC.
     """
-    import math
-
     codes = pq_encode(emb, codebooks)
-    cb_rows = codebooks.select("subspace", "code_id", "codeword").collect()
-    by_sub: dict[int, dict[int, list[float]]] = {}
-    for r in cb_rows:
-        by_sub.setdefault(r["subspace"], {})[r["code_id"]] = [
-            float(v) for v in r["codeword"]
-        ]
-    m = max(by_sub) + 1
-    d = len(next(iter(by_sub[0].values())))
-    q_rows = queries.select("query_id", "q_embedding").collect()
-    lut_rows = []
-    for qr in q_rows:
-        qv = [float(v) for v in qr["q_embedding"]]
-        lut = []
-        for mi in range(m):
-            qs = qv[mi * d : (mi + 1) * d]
-            n_codes = max(by_sub[mi]) + 1
-            row = [0] * n_codes
-            for code, cwv in by_sub[mi].items():
-                row[code] = int(math.floor(_py_l2(qs, cwv) * 1e6 + 0.5))
-            lut.append(row)
-        lut_rows.append((qr["query_id"], lut))
-    qlut = emb.sparkSession.createDataFrame(
-        lut_rows, "query_id long, lut array<array<bigint>>"
-    )
+    by_sub, m, d = _collect_codebooks(codebooks)
+    qlut = _query_luts(emb.sparkSession, queries, by_sub, m, d)
     adc = F.expr(
         "aggregate(zip_with(codes, lut, (c, t) -> t[c]), "
         "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
@@ -533,6 +613,56 @@ def pq_adc_topk(
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc_e6", "rank")
+    )
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF-ADC — the canonical billion-scale ANN index (FAISS ``IVFPQ``):
+    the coarse quantizer prunes WHICH vectors are scanned (a query touches
+    ``nprobe``·N/cells candidates; on a cell-partitioned table that is
+    partition-pruned I/O), and PQ compresses WHAT is scanned (m bytes +
+    O(m) LUT adds per candidate instead of 4·D bytes + a D-wide dot
+    product).  Composes :func:`ivf_assign` (map-side cell), :func:`pq_encode`
+    (map-side codes — the stored index is (vec_id, cell, codes)), and
+    :func:`ivf_probe_cells` (map-side probe set) with the ADC machinery of
+    :func:`pq_adc_topk`; the probe set broadcast-joins the driver-built
+    LUTs, so the only exchange in the whole serve-time plan is the final
+    per-query ranking window over (query_id, vec_id, adc_e6) triples.
+
+    Returns (query_id, vec_id, adc_e6, rank), rank by adc ASC, vec_id ASC.
+    """
+    indexed = pq_encode(
+        ivf_assign(emb, centroids), codebooks, keep=("cell",)
+    )
+    probes = ivf_probe_cells(queries, centroids, nprobe)
+    by_sub, m, d = _collect_codebooks(codebooks)
+    qlut = _query_luts(emb.sparkSession, queries, by_sub, m, d)
+    # both sides are |Q|-sized — broadcast the LUT join so the probe side
+    # never sort-merges (it is itself broadcast into the cell join below)
+    probe_side = probes.join(F.broadcast(qlut), "query_id")
+    adc = F.expr(
+        "aggregate(zip_with(codes, lut, (c, t) -> t[c]), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    cand = (
+        indexed.join(F.broadcast(probe_side), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", adc.alias("adc_e6"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_e6").asc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "adc_e6", "rank")
     )

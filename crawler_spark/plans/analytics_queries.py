@@ -754,6 +754,152 @@ FROM ranked WHERE rank <= {_PQ_TOPK}
 SQL_ANN_PQ_ADC = _pq_adc_sql()
 
 
+def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ADC, the canonical billion-scale ANN index (FAISS IVFPQ): the
+    trained coarse quantizer prunes WHICH vectors each query scans
+    (nprobe=2 cells), trained PQ codebooks compress WHAT is scanned (m
+    bytes + O(m) LUT adds per candidate).  Both trainings and the ADC
+    ranking replay exactly in DuckDB."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+    )
+    cent = SIM.kmeans_centroids(emb, k=_IVF_K, iters=_IVF_ITERS, seed="km1")
+    cb = SIM.pq_codebooks(
+        emb, m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS, seed="pq1"
+    )
+    out = SIM.ivf_pq_topk(
+        emb, _queries_df(spark, sf_dir), cent, cb,
+        k=_PQ_TOPK, nprobe=_IVF_NPROBE,
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("adc_e6").cast("long").alias("adc_e6"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def _ivf_pq_sql() -> str:
+    def cos(a: str, b: str, nd: int) -> str:
+        return (
+            f"round(list_dot_product({a}, {b}) /"
+            f" (sqrt(list_dot_product({a}, {a})) *"
+            f" sqrt(list_dot_product({b}, {b}))), {nd})"
+        )
+
+    def d2(x: str, y: str) -> str:
+        return (
+            f"((list_dot_product({x}, {x}) - 2.0 * list_dot_product({x}, {y}))"
+            f" + list_dot_product({y}, {y}))"
+        )
+
+    def kmeans_iter(i: int) -> str:
+        return f"""
+ka{i} AS (
+  SELECT vec_id, v, centroid_id AS cell FROM (
+    SELECT e.vec_id, e.v, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos('e.v', 'c.c', 6)} DESC,
+                                       c.centroid_id ASC) AS rn
+    FROM e CROSS JOIN kc{i - 1} c) WHERE rn = 1),
+km{i} AS (
+  SELECT cell, pos,
+         round(CAST(sum(CAST(val AS DECIMAL(24,12))) AS DOUBLE)
+               / count(*), 6) AS m
+  FROM (SELECT cell, unnest(v) AS val,
+               unnest(generate_series(1, len(v))) AS pos
+        FROM ka{i})
+  GROUP BY cell, pos),
+kc{i} AS (
+  SELECT cell AS centroid_id, list(m ORDER BY pos) AS c
+  FROM km{i} GROUP BY cell)"""
+
+    def pq_assign(src: str) -> str:
+        return f"""
+  SELECT vec_id, m, sv, code_id AS code FROM (
+    SELECT s.vec_id, s.m, s.sv, c.code_id,
+           row_number() OVER (PARTITION BY s.vec_id, s.m
+             ORDER BY round({d2('s.sv', 'c.cw')}, 6) ASC,
+                      c.code_id ASC) AS rn
+    FROM sub s JOIN {src} c ON c.m = s.m) WHERE rn = 1"""
+
+    last = f"kc{_IVF_ITERS}"
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+kseeds AS (
+  SELECT vec_id, v,
+         row_number() OVER (
+           ORDER BY md5('km1:' || CAST(vec_id AS VARCHAR)), vec_id) - 1
+           AS centroid_id
+  FROM e),
+kc0 AS (SELECT centroid_id, v AS c FROM kseeds WHERE centroid_id < {_IVF_K}),
+{','.join(kmeans_iter(i + 1) for i in range(_IVF_ITERS))},
+corpus AS (
+  SELECT vec_id, centroid_id AS cell FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos('e.v', 'c.c', 6)} DESC,
+                                       c.centroid_id ASC) AS rn
+    FROM e CROSS JOIN {last} c) WHERE rn = 1),
+qprobe AS (
+  SELECT vec_id AS query_id, centroid_id AS cell FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos('e.v', 'c.c', 6)} DESC,
+                                       c.centroid_id ASC) AS rn
+    FROM e CROSS JOIN {last} c WHERE e.vec_id < 8)
+  WHERE rn <= {_IVF_NPROBE}),
+sub AS (
+  SELECT vec_id, m, list_slice(v, m * {_PQ_D} + 1, (m + 1) * {_PQ_D}) AS sv
+  FROM e CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m) ms),
+pseeds AS (
+  SELECT m, sv, row_number() OVER (PARTITION BY m
+           ORDER BY md5('pq1:' || CAST(m AS VARCHAR) || ':'
+                        || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code_id
+  FROM sub),
+pcb0 AS (SELECT m, code_id, sv AS cw FROM pseeds WHERE code_id < {_PQ_KSUB}),
+pa1 AS ({pq_assign('pcb0')}),
+pm1 AS (
+  SELECT m, code, pos,
+         round(CAST(sum(CAST(val AS DECIMAL(24,12))) AS DOUBLE)
+               / count(*), 6) AS cval
+  FROM (SELECT m, code, unnest(sv) AS val,
+               unnest(generate_series(1, len(sv))) AS pos
+        FROM pa1)
+  GROUP BY m, code, pos),
+pcb1 AS (SELECT m, code AS code_id, list(cval ORDER BY pos) AS cw
+         FROM pm1 GROUP BY m, code),
+pcodes AS ({pq_assign('pcb1')}),
+lut AS (
+  SELECT s.vec_id AS query_id, s.m, c.code_id,
+         CAST(floor({d2('s.sv', 'c.cw')} * 1e6 + 0.5) AS BIGINT) AS d_e6
+  FROM sub s JOIN pcb1 c ON c.m = s.m WHERE s.vec_id < 8),
+cand AS (
+  SELECT qp.query_id, c.vec_id
+  FROM corpus c JOIN qprobe qp ON c.cell = qp.cell
+  WHERE c.vec_id <> qp.query_id),
+adc AS (
+  SELECT cand.query_id, cand.vec_id, CAST(sum(l.d_e6) AS BIGINT) AS adc_e6
+  FROM cand
+  JOIN pcodes co ON co.vec_id = cand.vec_id
+  JOIN lut l ON l.query_id = cand.query_id
+            AND l.m = co.m AND l.code_id = co.code
+  GROUP BY cand.query_id, cand.vec_id),
+ranked AS (
+  SELECT query_id, vec_id, adc_e6,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_e6 ASC, vec_id ASC) AS rank
+  FROM adc)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(adc_e6 AS BIGINT) AS adc_e6, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {_PQ_TOPK}
+"""
+
+
+SQL_ANN_IVF_PQ = _ivf_pq_sql()
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", "lang", *TS.lang_scores("text")
@@ -1693,6 +1839,7 @@ ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "ann_ivf_topk": (q_ann_ivf, SQL_ANN_IVF),
     "ann_ivf_nprobe": (q_ann_ivf_nprobe, SQL_ANN_IVF_NPROBE),
     "ann_pq_adc": (q_ann_pq_adc, SQL_ANN_PQ_ADC),
+    "ann_ivf_pq": (q_ann_ivf_pq, SQL_ANN_IVF_PQ),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),

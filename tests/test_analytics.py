@@ -389,6 +389,48 @@ def test_pq_adc_recovers_planted_clusters(spark):
         )
 
 
+def test_ivf_pq_probe_pruning_and_full_probe_equivalence(spark):
+    """IVF-PQ invariants: (a) probing EVERY cell makes IVF-PQ identical to
+    flat PQ-ADC (pruning only removes candidates, never rescores), and
+    (b) at nprobe=1 every returned vector lives in its query's single
+    probed cell."""
+    from crawler_spark.operators.similarity import (
+        ivf_assign,
+        ivf_pq_topk,
+        kmeans_centroids,
+        pq_adc_topk,
+        pq_codebooks,
+    )
+    from crawler_spark.plans.analytics_queries import _queries_df
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    edf = e.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+    )
+    q = _queries_df(spark, SF)
+    cent = kmeans_centroids(edf, k=4, iters=1, seed="km1")
+    cb = pq_codebooks(edf, m=2, ksub=4, iters=1, seed="pq1")
+    n_cells = cent.count()
+
+    def rows(df):
+        return sorted(
+            (r.query_id, r.vec_id, r.adc_e6, r.rank) for r in df.collect()
+        )
+
+    full = rows(pq_adc_topk(edf, q, cb, k=5))
+    assert rows(ivf_pq_topk(edf, q, cent, cb, k=5, nprobe=n_cells)) == full
+
+    cells = {r.vec_id: r.cell for r in ivf_assign(edf, cent).collect()}
+    got1 = ivf_pq_topk(edf, q, cent, cb, k=5, nprobe=1).collect()
+    assert got1, "nprobe=1 returned nothing"
+    for r in got1:
+        assert cells[r.vec_id] == cells[r.query_id], (
+            f"query {r.query_id} (cell {cells[r.query_id]}) pulled "
+            f"{r.vec_id} from cell {cells[r.vec_id]}"
+        )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
