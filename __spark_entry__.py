@@ -47,13 +47,15 @@ DEFER_TO_TAIL = [
     "w1_listing_snapshot",
     "a4_max_over_paginator",
     "s12_state_recovery",
-    # ninth..twelfth slots: registry grew to 62 this round
+    # ninth..thirteenth slots: registry grew to 63 this round
     # (image_phash_incremental, image_dedup_representatives, ann_pq_adc,
-    # ann_ivf_pq — new queries must sit inside the window)
+    # ann_ivf_pq, ann_ivf_pq_residual — new queries must sit inside the
+    # window)
     "j3_chosen_semijoin",
     "s7_listing_expand",
     "a3_admission_budget",
     "a5_seen_refresh",
+    "p4_p6_link_guards",
 ]
 
 

@@ -668,6 +668,129 @@ def ivf_pq_topk(
     )
 
 
+def ivf_residuals(
+    assigned: DataFrame, centroids: DataFrame, max_inline_centroids: int = 256
+) -> DataFrame:
+    """Residual x − c(cell) per assigned vector — **map-side, zero shuffle**
+    when the quantizer inlines: the centroid arrays become a cell-keyed
+    ``map()`` literal and each row ``zip_with``-subtracts inside its own
+    scan task.  Per-element subtraction is a single IEEE op on identical
+    operands in every engine, so residuals are bit-portable wherever the
+    inputs are.  Wide quantizers fall back to a broadcast join on cell.
+
+    ``assigned``: (vec_id, embedding, cell) from :func:`ivf_assign`.
+    Returns (vec_id, cell, embedding) with ``embedding`` = the residual.
+    """
+    rows = centroids.select("centroid_id", "c_embedding").collect()
+    dims = len(rows[0].c_embedding) if rows else 0
+    if rows and len(rows) <= max_inline_centroids and len(rows) * dims <= 32768:
+        entries = ", ".join(
+            f"CAST({r.centroid_id} AS {_cid_type(centroids)}), "
+            f"{_array_lit(list(r.c_embedding))}"
+            for r in sorted(rows, key=lambda r: r.centroid_id)
+        )
+        resid = (
+            f"zip_with(embedding, element_at(map({entries}), cell), "
+            f"(a, b) -> a - b)"
+        )
+        return assigned.select(
+            "vec_id", "cell", F.expr(resid).alias("embedding")
+        )
+    return (
+        assigned.join(
+            F.broadcast(centroids),
+            assigned["cell"] == centroids["centroid_id"],
+        )
+        .select(
+            "vec_id",
+            "cell",
+            F.expr(
+                "zip_with(embedding, c_embedding, (a, b) -> a - b)"
+            ).alias("embedding"),
+        )
+    )
+
+
+def ivf_pq_residual_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Residual-encoded IVF-ADC — the faithful FAISS ``IVFPQ`` (Jégou et
+    al. 2011 §IV.A): PQ codes compress the RESIDUAL x − c(cell), not the
+    raw vector, so the codebook only has to cover the (much tighter)
+    within-cell displacement distribution and quantization error drops for
+    the same m·ksub budget.  ``codebooks`` must therefore be trained on
+    :func:`ivf_residuals` output.
+
+    The asymmetric distance becomes cell-dependent — d(q, x) ≈
+    Σ_m LUT_cell[m][code] with LUT_cell built from the QUERY residual
+    q − c(cell) — so the LUTs are per (query, probed cell): the probe set
+    is computed by :func:`ivf_probe_cells` and collected (|Q|·nprobe rows —
+    the same deliberate small-collect the LUT build already does), each
+    probe's query residual is subtracted driver-side with the identical
+    IEEE op Spark's ``zip_with`` runs, and the (query_id, cell, lut) table
+    broadcasts into the cell join.  The serve-time plan keeps the
+    :func:`ivf_pq_topk` shape: index = (vec_id, cell, codes) built
+    map-side, one final ranking exchange.
+
+    Returns (query_id, vec_id, adc_e6, rank), rank by adc ASC, vec_id ASC.
+    """
+    import math
+
+    resid = ivf_residuals(ivf_assign(emb, centroids), centroids)
+    indexed = pq_encode(resid, codebooks, keep=("cell",))
+    by_sub, m, d = _collect_codebooks(codebooks)
+    cent = {
+        r["centroid_id"]: [float(v) for v in r["c_embedding"]]
+        for r in centroids.select("centroid_id", "c_embedding").collect()
+    }
+    probe_rows = (
+        ivf_probe_cells(queries, centroids, nprobe)
+        .select("query_id", "cell")
+        .collect()
+    )
+    qv = {
+        r["query_id"]: [float(v) for v in r["q_embedding"]]
+        for r in queries.select("query_id", "q_embedding").collect()
+    }
+    lut_rows = []
+    for pr in probe_rows:
+        qr = [a - b for a, b in zip(qv[pr["query_id"]], cent[pr["cell"]])]
+        lut = []
+        for mi in range(m):
+            qs = qr[mi * d : (mi + 1) * d]
+            row = [0] * (max(by_sub[mi]) + 1)
+            for code, cwv in by_sub[mi].items():
+                row[code] = int(math.floor(_py_l2(qs, cwv) * 1e6 + 0.5))
+            lut.append(row)
+        lut_rows.append((pr["query_id"], pr["cell"], lut))
+    cid_t = _cid_type(centroids)
+    qlut = emb.sparkSession.createDataFrame(
+        lut_rows, f"query_id long, cell {cid_t}, lut array<array<bigint>>"
+    )
+    adc = F.expr(
+        "aggregate(zip_with(codes, lut, (c, t) -> t[c]), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    cand = (
+        indexed.join(F.broadcast(qlut), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", adc.alias("adc_e6"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_e6").asc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc_e6", "rank")
+    )
+
+
 def lsh_bucketed_topk(
     emb: DataFrame,
     queries: DataFrame,

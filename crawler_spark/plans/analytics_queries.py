@@ -780,7 +780,12 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_pq_sql() -> str:
+def _ivf_pq_sql(residual: bool = False) -> str:
+    """DuckDB replay of the full IVF-PQ pipeline; ``residual=True`` mirrors
+    :func:`crawler_spark.operators.similarity.ivf_pq_residual_topk` — PQ is
+    trained on and encodes x − c(cell), and the ADC LUTs are per
+    (query, probed cell) from the query residual q − c(cell)."""
+
     def cos(a: str, b: str, nd: int) -> str:
         return (
             f"round(list_dot_product({a}, {b}) /"
@@ -825,6 +830,65 @@ kc{i} AS (
     FROM sub s JOIN {src} c ON c.m = s.m) WHERE rn = 1"""
 
     last = f"kc{_IVF_ITERS}"
+    # residual mode: per-element x − c(cell) lists for corpus and probed
+    # queries (one IEEE subtraction per element — bit-portable), PQ over
+    # those, and cell-keyed LUTs from the query residuals
+    resid_ctes = f"""
+eu AS (SELECT vec_id, unnest(v) AS val,
+              unnest(generate_series(1, len(v))) AS pos FROM e),
+cu AS (SELECT centroid_id, unnest(c) AS cval,
+              unnest(generate_series(1, len(c))) AS pos FROM {last}),
+resid AS (
+  SELECT eu.vec_id, co.cell, list(eu.val - cu.cval ORDER BY eu.pos) AS v
+  FROM eu JOIN corpus co ON co.vec_id = eu.vec_id
+       JOIN cu ON cu.centroid_id = co.cell AND cu.pos = eu.pos
+  GROUP BY eu.vec_id, co.cell),"""
+    sub_src = "resid" if residual else "e"
+    if residual:
+        lut_ctes = f"""
+qresid AS (
+  SELECT qp.query_id, qp.cell, list(eu.val - cu.cval ORDER BY eu.pos) AS v
+  FROM qprobe qp
+  JOIN eu ON eu.vec_id = qp.query_id
+  JOIN cu ON cu.centroid_id = qp.cell AND cu.pos = eu.pos
+  GROUP BY qp.query_id, qp.cell),
+qsub AS (
+  SELECT query_id, cell, m,
+         list_slice(v, m * {_PQ_D} + 1, (m + 1) * {_PQ_D}) AS sv
+  FROM qresid
+  CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m) ms2),
+lut AS (
+  SELECT s.query_id, s.cell, s.m, c.code_id,
+         CAST(floor({d2('s.sv', 'c.cw')} * 1e6 + 0.5) AS BIGINT) AS d_e6
+  FROM qsub s JOIN pcb1 c ON c.m = s.m),
+cand AS (
+  SELECT qp.query_id, c.vec_id, qp.cell
+  FROM corpus c JOIN qprobe qp ON c.cell = qp.cell
+  WHERE c.vec_id <> qp.query_id),
+adc AS (
+  SELECT cand.query_id, cand.vec_id, CAST(sum(l.d_e6) AS BIGINT) AS adc_e6
+  FROM cand
+  JOIN pcodes co ON co.vec_id = cand.vec_id
+  JOIN lut l ON l.query_id = cand.query_id AND l.cell = cand.cell
+            AND l.m = co.m AND l.code_id = co.code
+  GROUP BY cand.query_id, cand.vec_id),"""
+    else:
+        lut_ctes = f"""
+lut AS (
+  SELECT s.vec_id AS query_id, s.m, c.code_id,
+         CAST(floor({d2('s.sv', 'c.cw')} * 1e6 + 0.5) AS BIGINT) AS d_e6
+  FROM sub s JOIN pcb1 c ON c.m = s.m WHERE s.vec_id < 8),
+cand AS (
+  SELECT qp.query_id, c.vec_id
+  FROM corpus c JOIN qprobe qp ON c.cell = qp.cell
+  WHERE c.vec_id <> qp.query_id),
+adc AS (
+  SELECT cand.query_id, cand.vec_id, CAST(sum(l.d_e6) AS BIGINT) AS adc_e6
+  FROM cand
+  JOIN pcodes co ON co.vec_id = cand.vec_id
+  JOIN lut l ON l.query_id = cand.query_id
+            AND l.m = co.m AND l.code_id = co.code
+  GROUP BY cand.query_id, cand.vec_id),"""
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 kseeds AS (
@@ -849,10 +913,11 @@ qprobe AS (
                               ORDER BY {cos('e.v', 'c.c', 6)} DESC,
                                        c.centroid_id ASC) AS rn
     FROM e CROSS JOIN {last} c WHERE e.vec_id < 8)
-  WHERE rn <= {_IVF_NPROBE}),
+  WHERE rn <= {_IVF_NPROBE}),{resid_ctes if residual else ''}
 sub AS (
   SELECT vec_id, m, list_slice(v, m * {_PQ_D} + 1, (m + 1) * {_PQ_D}) AS sv
-  FROM e CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m) ms),
+  FROM {sub_src}
+  CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m) ms),
 pseeds AS (
   SELECT m, sv, row_number() OVER (PARTITION BY m
            ORDER BY md5('pq1:' || CAST(m AS VARCHAR) || ':'
@@ -870,22 +935,7 @@ pm1 AS (
   GROUP BY m, code, pos),
 pcb1 AS (SELECT m, code AS code_id, list(cval ORDER BY pos) AS cw
          FROM pm1 GROUP BY m, code),
-pcodes AS ({pq_assign('pcb1')}),
-lut AS (
-  SELECT s.vec_id AS query_id, s.m, c.code_id,
-         CAST(floor({d2('s.sv', 'c.cw')} * 1e6 + 0.5) AS BIGINT) AS d_e6
-  FROM sub s JOIN pcb1 c ON c.m = s.m WHERE s.vec_id < 8),
-cand AS (
-  SELECT qp.query_id, c.vec_id
-  FROM corpus c JOIN qprobe qp ON c.cell = qp.cell
-  WHERE c.vec_id <> qp.query_id),
-adc AS (
-  SELECT cand.query_id, cand.vec_id, CAST(sum(l.d_e6) AS BIGINT) AS adc_e6
-  FROM cand
-  JOIN pcodes co ON co.vec_id = cand.vec_id
-  JOIN lut l ON l.query_id = cand.query_id
-            AND l.m = co.m AND l.code_id = co.code
-  GROUP BY cand.query_id, cand.vec_id),
+pcodes AS ({pq_assign('pcb1')}),{lut_ctes}
 ranked AS (
   SELECT query_id, vec_id, adc_e6,
          row_number() OVER (PARTITION BY query_id
@@ -898,6 +948,38 @@ FROM ranked WHERE rank <= {_PQ_TOPK}
 
 
 SQL_ANN_IVF_PQ = _ivf_pq_sql()
+
+
+def q_ann_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-encoded IVF-ADC — the faithful FAISS IVFPQ: PQ codebooks
+    are trained on and encode the residual x − c(cell), so quantization
+    only covers the within-cell displacement and the same m·ksub budget
+    buys a tighter code; ADC LUTs are per (query, probed cell).  Both
+    trainings, the residual computation, and the ADC ranking replay
+    exactly in DuckDB."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+    )
+    cent = SIM.kmeans_centroids(emb, k=_IVF_K, iters=_IVF_ITERS, seed="km1")
+    resid = SIM.ivf_residuals(SIM.ivf_assign(emb, cent), cent)
+    cb = SIM.pq_codebooks(
+        resid.select("vec_id", "embedding"),
+        m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS, seed="pq1",
+    )
+    out = SIM.ivf_pq_residual_topk(
+        emb, _queries_df(spark, sf_dir), cent, cb,
+        k=_PQ_TOPK, nprobe=_IVF_NPROBE,
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("adc_e6").cast("long").alias("adc_e6"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+SQL_ANN_IVF_PQ_RESIDUAL = _ivf_pq_sql(residual=True)
 
 
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1840,6 +1922,7 @@ ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "ann_ivf_nprobe": (q_ann_ivf_nprobe, SQL_ANN_IVF_NPROBE),
     "ann_pq_adc": (q_ann_pq_adc, SQL_ANN_PQ_ADC),
     "ann_ivf_pq": (q_ann_ivf_pq, SQL_ANN_IVF_PQ),
+    "ann_ivf_pq_residual": (q_ann_ivf_pq_residual, SQL_ANN_IVF_PQ_RESIDUAL),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),

@@ -431,6 +431,113 @@ def test_ivf_pq_probe_pruning_and_full_probe_equivalence(spark):
         )
 
 
+def test_ivf_pq_residual_single_cell_equals_centered_flat_pq(spark):
+    """With a k=1 coarse quantizer the residual is just x − mean, so
+    residual IVF-PQ must be EXACTLY flat PQ-ADC over the centered data —
+    same codebooks, same LUTs, same ranking."""
+    from crawler_spark.operators.similarity import (
+        ivf_assign,
+        ivf_pq_residual_topk,
+        ivf_residuals,
+        kmeans_centroids,
+        pq_adc_topk,
+        pq_codebooks,
+    )
+    from crawler_spark.plans.analytics_queries import _queries_df
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    edf = e.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+    )
+    q = _queries_df(spark, SF)
+    cent1 = kmeans_centroids(edf, k=1, iters=1, seed="km1")
+    centered = ivf_residuals(ivf_assign(edf, cent1), cent1).select(
+        "vec_id", "embedding"
+    )
+    cb = pq_codebooks(centered, m=2, ksub=4, iters=1, seed="pq1")
+    centered_q = (
+        ivf_residuals(
+            ivf_assign(
+                q.select(
+                    F.col("query_id").alias("vec_id"),
+                    F.col("q_embedding").alias("embedding"),
+                ),
+                cent1,
+            ),
+            cent1,
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_embedding"),
+        )
+    )
+
+    def rows(df):
+        return sorted(
+            (r.query_id, r.vec_id, r.adc_e6, r.rank) for r in df.collect()
+        )
+
+    got = rows(ivf_pq_residual_topk(edf, q, cent1, cb, k=5, nprobe=1))
+    want = rows(pq_adc_topk(centered, centered_q, cb, k=5))
+    assert got == want
+
+
+def test_ivf_pq_residual_recovers_planted_twin(spark):
+    """Planted geometry where residual encoding matters: vectors are
+    cell-center + displacement, each displacement planted TWICE per cell.
+    Centers sit on distinct axes (clean cosine assignment), displacements
+    are exact binary fractions with zero mean, and the codebook holds the
+    displacement slices themselves — so a twin's residual quantizes to the
+    query's own residual, its ADC is exactly 0, and every other in-cell
+    candidate is strictly positive.  Pins the whole serve path (residual,
+    encode, cell-keyed LUT, ranking) with no training luck involved."""
+    from crawler_spark.operators.similarity import ivf_pq_residual_topk
+
+    # sub0 and sub1 corners both pairwise distinct; mean over j is 0
+    deltas = [
+        [4.0, 4.0, 2.0, 2.0],
+        [4.0, -4.0, 2.0, -2.0],
+        [-4.0, 4.0, -2.0, 2.0],
+        [-4.0, -4.0, -2.0, -2.0],
+    ]
+    rows_in, vid = [], 0
+    for c in range(3):
+        center = [256.0 if i == c else 0.0 for i in range(4)]
+        for j in range(4):
+            for _ in range(2):
+                rows_in.append(
+                    (vid, [center[i] + deltas[j][i] for i in range(4)])
+                )
+                vid += 1
+    emb = spark.createDataFrame(
+        rows_in, "vec_id long, embedding array<double>"
+    )
+    cent = spark.createDataFrame(
+        [(c, [256.0 if i == c else 0.0 for i in range(4)]) for c in range(3)],
+        "centroid_id int, c_embedding array<double>",
+    )
+    cb = spark.createDataFrame(
+        [
+            (mi, j, deltas[j][mi * 2 : mi * 2 + 2])
+            for mi in range(2)
+            for j in range(4)
+        ],
+        "subspace int, code_id int, codeword array<double>",
+    )
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    got = ivf_pq_residual_topk(emb, queries, cent, cb, k=1, nprobe=1).collect()
+    top1 = {r.query_id: (r.vec_id, r.adc_e6) for r in got}
+    twin = {v: v + 1 if v % 2 == 0 else v - 1 for v in range(vid)}
+    for v in range(vid):
+        assert top1[v] == (twin[v], 0), (
+            f"query {v}: expected twin {twin[v]} at adc 0, got {top1.get(v)}"
+        )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
