@@ -1529,6 +1529,118 @@ FROM cand WHERE hamming <= 4
 """
 
 
+def q_image_caption_joint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint image+caption near-duplicate pairs — the multimodal dedup gate
+    a LAION-style corpus needs: a pair is a TRUE duplicate only when the
+    images are visually near (phash hamming ≤ 4 via the pigeonhole chunk
+    join) AND the captions agree (token-set Jaccard ≥ 0.6, computed as an
+    exact integer gate 10·|∩| ≥ 6·|∪| so both engines compare identically).
+    Image reuse under a NEW caption is a different training sample and must
+    survive: the query plants both kinds — every 7th image gets a 2-bit
+    phash variant with the SAME caption (caught) and every 11th a 2-bit
+    variant captioned 'stock photo N' (visually near, caption-disjoint —
+    passes the hamming join, fails the caption gate).  The caption gate is
+    two image_id equi-joins + a projection after the bucketed hamming join,
+    so the scale shape stays phash_near_pairs'."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.concat(F.lit("img-"), F.col("doc_id").cast("string")).alias(
+            "image_id"
+        ),
+        F.substring("text", 1, 120).alias("caption"),
+        F.expr(_phash_nib_sum("spark")).alias("phash"),
+    )
+    v_same = base.filter(F.col("doc_id") % 7 == 0).select(
+        F.concat("image_id", F.lit("-v")).alias("image_id"),
+        "caption",
+        F.expr("phash ^ CAST(3 AS BIGINT)").alias("phash"),
+    )
+    v_diff = base.filter(F.col("doc_id") % 11 == 0).select(
+        F.concat("image_id", F.lit("-w")).alias("image_id"),
+        F.concat(F.lit("stock photo "), F.col("doc_id").cast("string")).alias(
+            "caption"
+        ),
+        F.expr("phash ^ CAST(3 AS BIGINT)").alias("phash"),
+    )
+    imgs = (
+        base.select("image_id", "caption", "phash")
+        .unionByName(v_same)
+        .unionByName(v_diff)
+    )
+    pairs = MM.phash_near_pairs(
+        imgs.select("image_id", "phash"), bits=60, chunks=10, max_hamming=4
+    )
+    toks = imgs.select(
+        "image_id",
+        F.array_distinct(
+            F.split(F.lower(F.trim("caption")), r"\s+")
+        ).alias("t"),
+    )
+    inter = F.size(F.array_intersect("ta.t", "tb.t")).cast("long")
+    joined = (
+        pairs.join(toks.alias("ta"), F.col("a_id") == F.col("ta.image_id"))
+        .join(toks.alias("tb"), F.col("b_id") == F.col("tb.image_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.col("hamming").cast("int").alias("hamming"),
+            inter.alias("cap_inter"),
+            (
+                F.size("ta.t").cast("long")
+                + F.size("tb.t").cast("long")
+                - inter
+            ).alias("cap_union"),
+        )
+    )
+    return joined.filter(
+        F.lit(10) * F.col("cap_inter") >= F.lit(6) * F.col("cap_union")
+    )
+
+
+SQL_IMAGE_CAPTION_JOINT_DEDUP = f"""
+WITH base AS (
+  SELECT doc_id, 'img-' || CAST(doc_id AS VARCHAR) AS image_id,
+         substring(text, 1, 120) AS caption,
+         {_phash_nib_sum("duckdb")} AS phash
+  FROM documents),
+imgs AS (
+  SELECT image_id, caption, phash FROM base
+  UNION ALL
+  SELECT image_id || '-v', caption, xor(phash, CAST(3 AS BIGINT))
+  FROM base WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT image_id || '-w', 'stock photo ' || CAST(doc_id AS VARCHAR),
+         xor(phash, CAST(3 AS BIGINT))
+  FROM base WHERE doc_id % 11 = 0),
+chunked AS (
+  SELECT image_id, phash, j AS chunk_id, (phash >> (j * 6)) & 63 AS chunk_val
+  FROM imgs CROSS JOIN generate_series(0, 9) t(j)),
+near AS (
+  SELECT * FROM (
+    SELECT DISTINCT a.image_id AS a_id, b.image_id AS b_id,
+           bit_count(xor(a.phash, b.phash)) AS hamming
+    FROM chunked a JOIN chunked b
+      ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+     AND a.image_id < b.image_id)
+  WHERE hamming <= 4),
+toks AS (
+  SELECT image_id,
+         list_distinct(string_split_regex(lower(trim(caption)), '\\s+')) AS t
+  FROM imgs),
+gated AS (
+  SELECT n.a_id, n.b_id, CAST(n.hamming AS INT) AS hamming,
+         CAST(len(list_intersect(ta.t, tb.t)) AS BIGINT) AS cap_inter,
+         CAST(len(ta.t) + len(tb.t) - len(list_intersect(ta.t, tb.t))
+              AS BIGINT) AS cap_union
+  FROM near n
+  JOIN toks ta ON ta.image_id = n.a_id
+  JOIN toks tb ON tb.image_id = n.b_id)
+SELECT a_id, b_id, hamming, cap_inter, cap_union
+FROM gated WHERE 10 * cap_inter >= 6 * cap_union
+"""
+
+
 def q_image_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental image phash dedup — probe a persisted value-level chunk
     index with a new crawl batch only (operators.multimodal.
@@ -1931,6 +2043,10 @@ ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "mm_decode_features": (q_mm_decode_features, SQL_MM_DECODE_FEATURES),
     "mm_av_metadata": (q_mm_av_metadata, SQL_MM_AV_METADATA),
     "image_phash_neardup": (q_image_phash_neardup, SQL_IMAGE_PHASH_NEARDUP),
+    "image_caption_joint_dedup": (
+        q_image_caption_joint_dedup,
+        SQL_IMAGE_CAPTION_JOINT_DEDUP,
+    ),
     "image_phash_incremental": (
         q_image_phash_incremental,
         SQL_IMAGE_PHASH_INCREMENTAL,

@@ -431,6 +431,34 @@ def test_ivf_pq_probe_pruning_and_full_probe_equivalence(spark):
         )
 
 
+def test_image_caption_joint_dedup_gates_on_both_modalities(spark):
+    """The joint gate keeps visually-near pairs only when captions agree:
+    every planted same-caption 2-bit variant ('-v') is caught against its
+    base image, and no caption-disjoint variant ('-w', visually identical
+    hamming-wise) survives the caption gate."""
+    from crawler_spark.plans.analytics_queries import (
+        q_image_caption_joint_dedup,
+    )
+
+    res = q_image_caption_joint_dedup(spark, SF).collect()
+    assert res, "no pairs at all"
+    pairs = {(r.a_id, r.b_id) for r in res}
+    planted = [
+        r.doc_id
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id")
+        .collect()
+    ]
+    assert planted
+    for doc in planted:
+        assert (f"img-{doc}", f"img-{doc}-v") in pairs, (
+            f"same-caption variant of doc {doc} not caught"
+        )
+    leaked = [p for p in pairs if p[0].endswith("-w") or p[1].endswith("-w")]
+    assert not leaked, f"caption-disjoint variants survived: {leaked[:5]}"
+
+
 def test_ivf_pq_residual_single_cell_equals_centered_flat_pq(spark):
     """With a k=1 coarse quantizer the residual is just x − mean, so
     residual IVF-PQ must be EXACTLY flat PQ-ADC over the centered data —
