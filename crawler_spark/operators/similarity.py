@@ -643,12 +643,28 @@ def ivf_pq_topk(
     indexed = pq_encode(
         ivf_assign(emb, centroids), codebooks, keep=("cell",)
     )
+    probe_side = _flat_probe_side(queries, centroids, codebooks, nprobe)
+    return _adc_rank(indexed, probe_side, k)
+
+
+def _flat_probe_side(
+    queries: DataFrame, centroids: DataFrame, codebooks: DataFrame, nprobe: int
+) -> DataFrame:
+    """(query_id, cell, lut) for raw-vector PQ: cell-independent per-query
+    LUTs joined onto the map-side probe set.  Both sides are |Q|-sized —
+    broadcast the LUT join so the probe side never sort-merges (it is
+    itself broadcast into the cell join downstream)."""
     probes = ivf_probe_cells(queries, centroids, nprobe)
     by_sub, m, d = _collect_codebooks(codebooks)
-    qlut = _query_luts(emb.sparkSession, queries, by_sub, m, d)
-    # both sides are |Q|-sized — broadcast the LUT join so the probe side
-    # never sort-merges (it is itself broadcast into the cell join below)
-    probe_side = probes.join(F.broadcast(qlut), "query_id")
+    qlut = _query_luts(queries.sparkSession, queries, by_sub, m, d)
+    return probes.join(F.broadcast(qlut), "query_id")
+
+
+def _adc_rank(indexed: DataFrame, probe_side: DataFrame, k: int) -> DataFrame:
+    """Shared IVF-ADC tail: broadcast the (query_id, cell, lut) probe side
+    into the cell join over the (vec_id, cell, codes) index, fold codes
+    through the LUT, rank per query.  The ranking window is the only
+    exchange."""
     adc = F.expr(
         "aggregate(zip_with(codes, lut, (c, t) -> t[c]), "
         "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
@@ -739,10 +755,22 @@ def ivf_pq_residual_topk(
 
     Returns (query_id, vec_id, adc_e6, rank), rank by adc ASC, vec_id ASC.
     """
-    import math
-
     resid = ivf_residuals(ivf_assign(emb, centroids), centroids)
     indexed = pq_encode(resid, codebooks, keep=("cell",))
+    probe_side = _residual_probe_side(queries, centroids, codebooks, nprobe)
+    return _adc_rank(indexed, probe_side, k)
+
+
+def _residual_probe_side(
+    queries: DataFrame, centroids: DataFrame, codebooks: DataFrame, nprobe: int
+) -> DataFrame:
+    """(query_id, cell, lut) for residual PQ: the probe set is collected
+    (|Q|·nprobe rows — the same deliberate small-collect the LUT build
+    already does), each probe's query residual q − c(cell) is subtracted
+    driver-side with the identical IEEE op Spark's ``zip_with`` runs, and
+    the cell-keyed LUTs ship back as one small frame."""
+    import math
+
     by_sub, m, d = _collect_codebooks(codebooks)
     cent = {
         r["centroid_id"]: [float(v) for v in r["c_embedding"]]
@@ -769,26 +797,58 @@ def ivf_pq_residual_topk(
             lut.append(row)
         lut_rows.append((pr["query_id"], pr["cell"], lut))
     cid_t = _cid_type(centroids)
-    qlut = emb.sparkSession.createDataFrame(
+    return queries.sparkSession.createDataFrame(
         lut_rows, f"query_id long, cell {cid_t}, lut array<array<bigint>>"
     )
-    adc = F.expr(
-        "aggregate(zip_with(codes, lut, (c, t) -> t[c]), "
-        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+
+
+def write_ivf_pq_index(
+    emb: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    path: str,
+    residual: bool = False,
+) -> None:
+    """Materialize the serve-time ANN index **partitioned by cell** — the
+    production shape the ivf docstrings promise: the stored table is
+    (vec_id, codes) under ``cell=<id>/`` directories, so a probe is
+    partition-pruned I/O (a query's scan touches nprobe/cells of the
+    files), and the payload per vector is m code bytes, not 4·D floats.
+    Assignment, residual subtraction, and encoding are all map-side — the
+    index build plan has zero shuffles."""
+    src = ivf_assign(emb, centroids)
+    if residual:
+        src = ivf_residuals(src, centroids)
+    pq_encode(src, codebooks, keep=("cell",)).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(path)
+
+
+def probe_ivf_pq_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    nprobe: int = 1,
+    residual: bool = False,
+) -> DataFrame:
+    """Serve top-k from a persisted :func:`write_ivf_pq_index` index.  The
+    union of probed cells becomes a static ``cell IN (…)`` predicate on the
+    partitioned scan — it lands in the scan's PartitionFilters (pinned by
+    test), so only the probed cells' files are listed and read; results are
+    identical to the in-memory :func:`ivf_pq_topk` /
+    :func:`ivf_pq_residual_topk` on the same inputs."""
+    if residual:
+        probe_side = _residual_probe_side(queries, centroids, codebooks, nprobe)
+    else:
+        probe_side = _flat_probe_side(queries, centroids, codebooks, nprobe)
+    cells = sorted(
+        r["cell"] for r in probe_side.select("cell").distinct().collect()
     )
-    cand = (
-        indexed.join(F.broadcast(qlut), "cell")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", adc.alias("adc_e6"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_e6").asc(), F.col("vec_id").asc()
-    )
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "adc_e6", "rank")
-    )
+    indexed = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    return _adc_rank(indexed, probe_side, k)
 
 
 def lsh_bucketed_topk(

@@ -431,6 +431,78 @@ def test_ivf_pq_probe_pruning_and_full_probe_equivalence(spark):
         )
 
 
+def test_persisted_ivf_pq_index_prunes_partitions_and_matches(tmp_path, spark):
+    """The persisted cell-partitioned index delivers the partition-pruning
+    story the docstrings promise: probing reads ONLY the probed cells'
+    files (asserted on df.inputFiles()), and the served top-k is identical
+    to the in-memory path — for both raw and residual encodings."""
+    from crawler_spark.operators.similarity import (
+        ivf_pq_residual_topk,
+        ivf_pq_topk,
+        ivf_probe_cells,
+        ivf_residuals,
+        ivf_assign,
+        kmeans_centroids,
+        pq_codebooks,
+        probe_ivf_pq_index,
+        write_ivf_pq_index,
+    )
+    from crawler_spark.plans.analytics_queries import _queries_df
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    edf = e.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+    )
+    q = _queries_df(spark, SF)
+    cent = kmeans_centroids(edf, k=4, iters=1, seed="km1")
+
+    def rows(df):
+        return sorted(
+            (r.query_id, r.vec_id, r.adc_e6, r.rank) for r in df.collect()
+        )
+
+    probed = {
+        r.cell for r in ivf_probe_cells(q, cent, nprobe=1).collect()
+    }
+    n_cells = cent.count()
+    assert len(probed) < n_cells, "probe set covers every cell; test is vacuous"
+
+    for residual in (False, True):
+        src = edf if not residual else ivf_residuals(
+            ivf_assign(edf, cent), cent
+        ).select("vec_id", "embedding")
+        cb = pq_codebooks(src, m=2, ksub=4, iters=1, seed="pq1")
+        path = str(tmp_path / f"idx_{residual}")
+        write_ivf_pq_index(edf, cent, cb, path, residual=residual)
+        served = probe_ivf_pq_index(
+            spark, path, q, cent, cb, k=5, nprobe=1, residual=residual
+        )
+        mem = (ivf_pq_residual_topk if residual else ivf_pq_topk)(
+            edf, q, cent, cb, k=5, nprobe=1
+        )
+        assert rows(served) == rows(mem)
+        # the probed-cell predicate must reach the partitioned scan's
+        # PartitionFilters (inputFiles() lists pre-pruning, so assert on
+        # the plan): file listing then skips the unprobed cell directories
+        import contextlib
+        import io
+        import re
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            served.explain("formatted")
+        m = re.search(
+            r"PartitionFilters: \[cell#\d+ IN \(([\d,]+)\)", buf.getvalue()
+        )
+        assert m, f"residual={residual}: no cell IN PartitionFilter in plan"
+        filtered = {int(c) for c in m.group(1).split(",")}
+        assert filtered == probed, (
+            f"residual={residual}: scan partition filter {filtered}, "
+            f"probed {probed}"
+        )
+
+
 def test_image_caption_joint_dedup_gates_on_both_modalities(spark):
     """The joint gate keeps visually-near pairs only when captions agree:
     every planted same-caption 2-bit variant ('-v') is caught against its
