@@ -191,3 +191,78 @@ def test_streaming_dedupe_within_watermark(spark):
         "url string, ts string",
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     assert dedupe_within_watermark(batch, ["url"]).count() == 2
+
+
+def _write_images(dir_: Path, name: str, rows: list[tuple[str, int]]) -> None:
+    dir_.mkdir(parents=True, exist_ok=True)
+    with open(dir_ / name, "w") as f:
+        for iid, ph in rows:
+            f.write(
+                json.dumps(
+                    {
+                        "image_id": iid,
+                        "phash": ph,
+                        "fetched_ts": "2026-01-01T00:00:00",
+                    }
+                )
+            )
+            f.write("\n")
+
+
+def test_streaming_image_dedup_matches_batch_operator(spark):
+    """Two micro-batch rounds (with a stream restart between them) emit
+    exactly the pairs the BATCH phash_near_pairs finds on the union,
+    because both paths share phash_incremental_pairs; redelivered image_ids
+    are dropped so replays don't duplicate state."""
+    from crawler_spark.operators.multimodal import phash_near_pairs
+    from crawler_spark.streaming.image_dedup import start_image_dedup_stream
+
+    root = Path(tempfile.mkdtemp(prefix="img_stream_"))
+    inp, state, ckpt = root / "in", root / "state", root / "ckpt"
+
+    # batch 1: two exact dups + one 2-bit variant + singletons
+    b1 = [
+        ("img-a", 0b111000111000),
+        ("img-a2", 0b111000111000),
+        ("img-b", 0b111000111011),
+        ("img-c", 0b000111000111),
+    ]
+    _write_images(inp, "b1.json", b1)
+    q = start_image_dedup_stream(
+        spark, str(inp), str(state), str(ckpt), bits=60, chunks=10,
+        max_hamming=4,
+    )
+    q.awaitTermination(120)
+
+    # batch 2 (restart): a near-dup of img-c, a redelivery of img-a
+    # (must be a no-op), and a fresh singleton
+    b2 = [
+        ("img-d", 0b000111000110),
+        ("img-a", 0b111000111000),
+        ("img-e", 0b101010101010101),
+    ]
+    _write_images(inp, "b2.json", b2)
+    q2 = start_image_dedup_stream(
+        spark, str(inp), str(state), str(ckpt), bits=60, chunks=10,
+        max_hamming=4,
+    )
+    q2.awaitTermination(120)
+
+    got = {
+        (r.a_id, r.b_id, r.hamming)
+        for r in spark.read.parquet(str(state / "near_pairs")).collect()
+    }
+    union_rows = [(i, p) for i, p in dict(b1 + b2).items()]
+    want_df = phash_near_pairs(
+        spark.createDataFrame(union_rows, "image_id string, phash long"),
+        bits=60, chunks=10, max_hamming=4,
+    )
+    want = {(r.a_id, r.b_id, r.hamming) for r in want_df.collect()}
+    assert got == want and ("img-a", "img-a2", 0) in got
+
+    members = spark.read.parquet(str(state / "members"))
+    assert members.count() == 6  # the redelivered img-a was dropped
+    idx_vals = spark.read.parquet(str(state / "phash_index")).select(
+        "phash"
+    ).distinct()
+    assert idx_vals.count() == 5  # one shared phash between a and a2
