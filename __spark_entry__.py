@@ -47,16 +47,19 @@ DEFER_TO_TAIL = [
     "w1_listing_snapshot",
     "a4_max_over_paginator",
     "s12_state_recovery",
-    # ninth..fourteenth slots: registry grew to 64 this round
+    # ninth..sixteenth slots: registry grew to 66 this round
     # (image_phash_incremental, image_dedup_representatives, ann_pq_adc,
-    # ann_ivf_pq, ann_ivf_pq_residual, image_caption_joint_dedup — new
-    # queries must sit inside the window)
+    # ann_ivf_pq, ann_ivf_pq_residual, image_caption_joint_dedup,
+    # text_decontaminate, text_repetition — new queries must sit inside
+    # the window)
     "j3_chosen_semijoin",
     "s7_listing_expand",
     "a3_admission_budget",
     "a5_seen_refresh",
     "p4_p6_link_guards",
     "t1_link_extraction",
+    "c1_politeness_gaps",
+    "dedup_exact",
 ]
 
 

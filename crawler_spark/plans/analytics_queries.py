@@ -1083,6 +1083,125 @@ FROM documents
 """
 
 
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the standard test-set-contamination
+    filter of an LLM training pipeline (GPT-3 §C / Gopher / The Pile all
+    run a variant): flag every corpus document sharing at least one word
+    n-gram (n=3 here, sized to the synthetic vocabulary) with a held-out
+    benchmark set, reporting the count of DISTINCT shared n-grams.  The
+    benchmark side (docs with doc_id % 97 == 0) is tiny by nature — a
+    benchmark suite is millions of n-grams — so it BROADCASTS into the
+    probe join and the corpus side never shuffles; at 100 TB the only other
+    change is joining on xxhash64(n-gram) instead of the string (same
+    plan, 8-byte keys).  Output: (doc_id, n_hits) for contaminated
+    corpus docs."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("t")
+        )
+        .filter(F.size("t") >= 3)
+    )
+    ng = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 2), "
+                "i -> concat_ws(' ', slice(t, i, 3)))"
+            )
+        ).alias("g"),
+    )
+    bench = ng.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    return (
+        ng.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").cast("long").alias("n_hits"))
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "n_hits")
+    )
+
+
+SQL_TEXT_DECONTAMINATE = """
+WITH d AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents),
+ng AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 2),
+                i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS g
+  FROM d WHERE len(t) >= 3),
+bench AS (SELECT DISTINCT g FROM ng WHERE doc_id % 97 = 0)
+SELECT CAST(ng.doc_id AS BIGINT) AS doc_id,
+       CAST(count(DISTINCT ng.g) AS BIGINT) AS n_hits
+FROM ng JOIN bench USING (g)
+WHERE ng.doc_id % 97 <> 0
+GROUP BY ng.doc_id
+"""
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition features (Rae et al. 2021
+    table A1): per document, total bigram occurrences, the most frequent
+    bigram's count, and the mass of bigrams occurring more than once — the
+    signals behind the top-n-gram-fraction and duplicate-n-gram-fraction
+    quality gates.  Emitted as exact BIGINT numerators/denominator (the
+    gate is a ratio; integer outputs keep both engines bit-identical, the
+    caller divides).  Pure explode + two-level aggregation — scales as a
+    map-side-combinable groupBy."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("t")
+        )
+        .filter(F.size("t") >= 2)
+    )
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> concat_ws(' ', slice(t, i, 2)))"
+            )
+        ).alias("g"),
+    )
+    per_bg = bg.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    return (
+        per_bg.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.max("c").cast("long").alias("top_bigram_n"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("dup_bigram_n"),
+        )
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "n_bigrams",
+            "top_bigram_n",
+            "dup_bigram_n",
+        )
+    )
+
+
+SQL_TEXT_REPETITION = """
+WITH d AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS g
+  FROM d WHERE len(t) >= 2),
+per_bg AS (
+  SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(sum(c) AS BIGINT) AS n_bigrams,
+       CAST(max(c) AS BIGINT) AS top_bigram_n,
+       CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_bigram_n
+FROM per_bg GROUP BY doc_id
+"""
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = TS.with_fingerprint(_t(spark, sf_dir, "documents"), "text", k=4)
     return d.select(
@@ -2039,6 +2158,8 @@ ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "text_decontaminate": (q_text_decontaminate, SQL_TEXT_DECONTAMINATE),
+    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "mm_image_metadata": (q_mm_image_metadata, SQL_MM_IMAGE_METADATA),
     "mm_decode_features": (q_mm_decode_features, SQL_MM_DECODE_FEATURES),
     "mm_av_metadata": (q_mm_av_metadata, SQL_MM_AV_METADATA),
