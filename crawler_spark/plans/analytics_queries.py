@@ -5,8 +5,10 @@ Every Spark query here is built from crawler_spark.operators.{dedup,
 similarity, multimodal} and functions.textstats; every oracle is the same
 computation in DuckDB SQL.  Engine parity rests on three deliberate choices:
 
-1. all content hashing is md5 hex (identical in both engines; min/compare on
-   hex strings is binary collation in both);
+1. all content hashing is md5 (identical in both engines); compares are on
+   hex strings (binary collation in both) or on 60-bit integer prefixes
+   where an aggregate needs a mutable buffer (minhash — see
+   operators/dedup.minhash_signatures);
 2. all float output is computed in DOUBLE with the same operation order and
    rounded (4 dp) before it leaves the query;
 3. every ordering / top-k uses a total, engine-independent sort key
@@ -165,12 +167,18 @@ def _minhash_sql(
     num_perm: int = 16, bands: int = 4, extra_where: str = ""
 ) -> str:
     rows = num_perm // bands
+    # 60-bit integer hash prefixes, mirroring minhash_signatures (see its
+    # docstring): min(BIGINT) hash-aggregates where min(string) sorts
     mins = ",\n         ".join(
-        f"min(md5('{i}:' || shingle)) AS s{i}" for i in range(num_perm)
+        f"min(CAST(concat('0x', substr(md5('{i}:' || shingle), 1, 15)) "
+        f"AS BIGINT)) AS s{i}"
+        for i in range(num_perm)
     )
     band_selects = []
     for b in range(bands):
-        key = " || '|' || ".join(f"s{b * rows + j}" for j in range(rows))
+        key = " || '|' || ".join(
+            f"CAST(s{b * rows + j} AS VARCHAR)" for j in range(rows)
+        )
         band_selects.append(
             f"SELECT doc_id, sig, {b} AS band_id, md5({key}) AS band_key FROM sigs"
         )
