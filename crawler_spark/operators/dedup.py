@@ -84,6 +84,14 @@ def exploded_shingles(
     per element (~5× slower than this codegen'd regex path; measured on
     300k shingles).  ``distinct=False`` skips the per-doc dedupe shuffle for
     consumers where duplicate shingles are harmless (min-hash).
+
+    ``extra_cols`` must be PER-DOC CONSTANTS (blocking keys like lang or
+    source): the dedupe is a full-column ``distinct()`` — a pure
+    HashAggregate — rather than ``dropDuplicates([doc_id, shingle])``,
+    which Spark compiles to ``first(extra)`` per group, and ``first`` over
+    a string has no mutable buffer so the whole occurrence-exploded frame
+    gets a per-partition SortAggregate.  For doc-constant extras the two
+    are row-identical; the contract buys the hash plan.
     """
     pat = r"(?:^|(?<=\s))(?=(\S+(?:\s+\S+){" + str(k - 1) + r"}))"
     out = docs.select(
@@ -94,7 +102,7 @@ def exploded_shingles(
         ),
     ).withColumn("shingle", F.regexp_replace("__s0", r"\s+", " ")).drop("__s0")
     if distinct:
-        out = out.dropDuplicates(["doc_id", "shingle"])
+        out = out.distinct()
     return out
 
 
