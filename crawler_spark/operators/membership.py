@@ -52,8 +52,11 @@ def due_or_changed(
 
     True last-wins over a seen set that may carry duplicate keys needs an
     ordering column: pass ``version`` (e.g. generation / updated_at) and the
-    highest-version row's ``compare`` wins via ``max_by`` — deterministic,
-    unlike ``last()``, whose result depends on partition order.  Without
+    highest-version row's ``compare`` wins via ``max_by`` over the TOTAL
+    key ``struct(version, compare)`` — two rows tied on version resolve to
+    the max ``compare``, so the result never depends on partition order
+    (``max_by`` on version alone would still flap on a version tie, the
+    failure mode this parameter exists to remove).  Without
     ``version`` the aggregate is ``max(compare)``: on a key-unique snapshot
     (the A5 upsert invariant, which every snapshot written by this engine
     satisfies) that IS the row's value, and on an unexpectedly duplicated key
@@ -61,7 +64,8 @@ def due_or_changed(
     """
     keys = keys or ["judge", "pid"]
     chosen = (
-        F.expr(f"max_by({compare}, {version})") if version is not None
+        F.expr(f"max_by({compare}, struct({version}, {compare}))")
+        if version is not None
         else F.max(compare)
     )
     seen_kv = seen.groupBy(*keys).agg(chosen.alias("__seen_cmp"))

@@ -498,25 +498,25 @@ def pq_encode(
     Returns (vec_id, *keep, codes:array<int>) with codes[i] = the code in
     subspace i; ``keep`` carries extra columns (e.g. the IVF cell) through.
     """
-    rows = codebooks.select("subspace", "code_id", "codeword").collect()
-    by_sub: dict[int, dict[int, list[float]]] = {}
-    for r in rows:
-        by_sub.setdefault(r["subspace"], {})[r["code_id"]] = [
-            float(v) for v in r["codeword"]
-        ]
-    if not by_sub:
-        raise ValueError("empty codebook")
-    m = max(by_sub) + 1
-    d = len(next(iter(by_sub[0].values())))
+    by_sub, m, d = _collect_codebooks(codebooks)
+    # hoist each subspace's slice and self-norm fold into a column computed
+    # ONCE per row (same hoist _pq_assign_sub does) — inlining them into
+    # every codeword struct would re-run an O(d) fold ksub times per
+    # subspace per row in the index-build hot path
+    out = emb
     code_exprs = []
     for mi in range(m):
-        sv = f"slice(embedding, {mi * d + 1}, {d})"
-        na = _dot(sv, sv)
+        sv_col, na_col = f"__sv{mi}", f"__na{mi}"
+        out = out.withColumn(
+            sv_col, F.expr(f"slice(embedding, {mi * d + 1}, {d})")
+        ).withColumn(na_col, F.expr(_dot(sv_col, sv_col)))
         structs = []
         for code in sorted(by_sub[mi]):
             cwv = by_sub[mi][code]
             nb = _py_dot(cwv, cwv)
-            d2 = _l2_sql(na, _dot(sv, _array_lit(cwv)), f"CAST({nb!r} AS DOUBLE)")
+            d2 = _l2_sql(
+                na_col, _dot(sv_col, _array_lit(cwv)), f"CAST({nb!r} AS DOUBLE)"
+            )
             structs.append(
                 f"struct((CAST(0.0 AS DOUBLE) - round({d2}, 6)) AS nd, "
                 f"CAST({-code} AS BIGINT) AS nc)"
@@ -525,7 +525,7 @@ def pq_encode(
             f"greatest({', '.join(structs)})" if len(structs) > 1 else structs[0]
         )
         code_exprs.append(f"CAST(-({best}.nc) AS INT)")
-    return emb.select(
+    return out.select(
         "vec_id",
         *keep,
         F.expr(f"array({', '.join(code_exprs)})").alias("codes"),
@@ -549,29 +549,42 @@ def _collect_codebooks(
     return by_sub, m, d
 
 
+def _lut_for(
+    qv: list[float], by_sub: dict, m: int, d: int
+) -> list[list[int]]:
+    """One vector's ADC lookup table: lut[mi][code] = floor(L2²(q_sub,
+    codeword)·1e6 + 0.5) as exact integers (order-free summation + engine
+    portability).  Dropped codes hold a 0 filler that no emitted code ever
+    references."""
+    import math
+
+    lut = []
+    for mi in range(m):
+        qs = qv[mi * d : (mi + 1) * d]
+        row = [0] * (max(by_sub[mi]) + 1)
+        for code, cwv in by_sub[mi].items():
+            row[code] = int(math.floor(_py_l2(qs, cwv) * 1e6 + 0.5))
+        lut.append(row)
+    return lut
+
+
+def _qid_type(queries: DataFrame) -> str:
+    return queries.schema["query_id"].dataType.simpleString()
+
+
 def _query_luts(
     spark, queries: DataFrame, by_sub: dict, m: int, d: int
 ) -> DataFrame:
-    """Build the per-query ADC lookup tables driver-side: lut[mi][code] =
-    floor(L2²(q_sub, codeword)·1e6 + 0.5) as exact integers (order-free
-    summation + engine portability).  |Q|·m·ksub entries — tiny; dropped
-    codes hold a 0 filler that no emitted code ever references."""
-    import math
-
+    """Per-query ADC lookup tables built driver-side — |Q|·m·ksub entries,
+    tiny by contract."""
     q_rows = queries.select("query_id", "q_embedding").collect()
-    lut_rows = []
-    for qr in q_rows:
-        qv = [float(v) for v in qr["q_embedding"]]
-        lut = []
-        for mi in range(m):
-            qs = qv[mi * d : (mi + 1) * d]
-            row = [0] * (max(by_sub[mi]) + 1)
-            for code, cwv in by_sub[mi].items():
-                row[code] = int(math.floor(_py_l2(qs, cwv) * 1e6 + 0.5))
-            lut.append(row)
-        lut_rows.append((qr["query_id"], lut))
+    lut_rows = [
+        (qr["query_id"], _lut_for([float(v) for v in qr["q_embedding"]],
+                                  by_sub, m, d))
+        for qr in q_rows
+    ]
     return spark.createDataFrame(
-        lut_rows, "query_id long, lut array<array<bigint>>"
+        lut_rows, f"query_id {_qid_type(queries)}, lut array<array<bigint>>"
     )
 
 
@@ -599,23 +612,7 @@ def pq_adc_topk(
     codes = pq_encode(emb, codebooks)
     by_sub, m, d = _collect_codebooks(codebooks)
     qlut = _query_luts(emb.sparkSession, queries, by_sub, m, d)
-    adc = F.expr(
-        "aggregate(zip_with(codes, lut, (c, t) -> t[c]), "
-        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-    )
-    scored = (
-        codes.crossJoin(F.broadcast(qlut))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", adc.alias("adc_e6"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_e6").asc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "adc_e6", "rank")
-    )
+    return _adc_rank(codes, qlut, k, on=None)
 
 
 def ivf_pq_topk(
@@ -660,18 +657,24 @@ def _flat_probe_side(
     return probes.join(F.broadcast(qlut), "query_id")
 
 
-def _adc_rank(indexed: DataFrame, probe_side: DataFrame, k: int) -> DataFrame:
-    """Shared IVF-ADC tail: broadcast the (query_id, cell, lut) probe side
-    into the cell join over the (vec_id, cell, codes) index, fold codes
-    through the LUT, rank per query.  The ranking window is the only
-    exchange."""
+def _adc_rank(
+    indexed: DataFrame, probe_side: DataFrame, k: int, on: str | None = "cell"
+) -> DataFrame:
+    """Shared ADC tail: broadcast the LUT-carrying probe side into the join
+    over the (vec_id[, cell], codes) index (``on=None`` = the flat-PQ cross
+    join against every vector), fold codes through the LUT, rank per query.
+    The ranking window is the only exchange."""
     adc = F.expr(
         "aggregate(zip_with(codes, lut, (c, t) -> t[c]), "
         "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
     )
+    joined = (
+        indexed.join(F.broadcast(probe_side), on)
+        if on
+        else indexed.crossJoin(F.broadcast(probe_side))
+    )
     cand = (
-        indexed.join(F.broadcast(probe_side), "cell")
-        .filter(F.col("vec_id") != F.col("query_id"))
+        joined.filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", adc.alias("adc_e6"))
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -769,8 +772,6 @@ def _residual_probe_side(
     already does), each probe's query residual q − c(cell) is subtracted
     driver-side with the identical IEEE op Spark's ``zip_with`` runs, and
     the cell-keyed LUTs ship back as one small frame."""
-    import math
-
     by_sub, m, d = _collect_codebooks(codebooks)
     cent = {
         r["centroid_id"]: [float(v) for v in r["c_embedding"]]
@@ -788,17 +789,11 @@ def _residual_probe_side(
     lut_rows = []
     for pr in probe_rows:
         qr = [a - b for a, b in zip(qv[pr["query_id"]], cent[pr["cell"]])]
-        lut = []
-        for mi in range(m):
-            qs = qr[mi * d : (mi + 1) * d]
-            row = [0] * (max(by_sub[mi]) + 1)
-            for code, cwv in by_sub[mi].items():
-                row[code] = int(math.floor(_py_l2(qs, cwv) * 1e6 + 0.5))
-            lut.append(row)
-        lut_rows.append((pr["query_id"], pr["cell"], lut))
-    cid_t = _cid_type(centroids)
+        lut_rows.append((pr["query_id"], pr["cell"], _lut_for(qr, by_sub, m, d)))
     return queries.sparkSession.createDataFrame(
-        lut_rows, f"query_id long, cell {cid_t}, lut array<array<bigint>>"
+        lut_rows,
+        f"query_id {_qid_type(queries)}, cell {_cid_type(centroids)}, "
+        f"lut array<array<bigint>>",
     )
 
 
@@ -844,11 +839,14 @@ def probe_ivf_pq_index(
         probe_side = _residual_probe_side(queries, centroids, codebooks, nprobe)
     else:
         probe_side = _flat_probe_side(queries, centroids, codebooks, nprobe)
-    cells = sorted(
-        r["cell"] for r in probe_side.select("cell").distinct().collect()
-    )
+    # materialize the (small) probe side once: the collected rows feed both
+    # the partition predicate and the broadcast join — re-executing the live
+    # probe plan for each would run ivf_probe_cells + the LUT join twice
+    rows = probe_side.collect()
+    probe_local = spark.createDataFrame(rows, probe_side.schema)
+    cells = sorted({r["cell"] for r in rows})
     indexed = spark.read.parquet(path).filter(F.col("cell").isin(cells))
-    return _adc_rank(indexed, probe_side, k)
+    return _adc_rank(indexed, probe_local, k)
 
 
 def lsh_bucketed_topk(

@@ -540,10 +540,16 @@ def q_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ivf_nprobe_sql() -> str:
     def cos(a: str, b: str, nd: int) -> str:
+        # zero-norm guard mirroring ivf_assign/ivf_probe_cells: Spark pins
+        # the cosine of a zero vector to -1.0 (lowest cell wins); without
+        # this the oracle's x/0 -> NULL/NaN would rank differently
         return (
-            f"round(list_dot_product({a}, {b}) /"
+            f"CASE WHEN sqrt(list_dot_product({a}, {a})) = 0.0"
+            f" OR sqrt(list_dot_product({b}, {b})) = 0.0"
+            f" THEN CAST(-1.0 AS DOUBLE)"
+            f" ELSE round(list_dot_product({a}, {b}) /"
             f" (sqrt(list_dot_product({a}, {a})) *"
-            f" sqrt(list_dot_product({b}, {b}))), {nd})"
+            f" sqrt(list_dot_product({b}, {b}))), {nd}) END"
         )
 
     def assign_iter(i: int) -> str:
@@ -643,9 +649,13 @@ WITH e AS (
 cent AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id % 50 = 0),
 scored AS (
   SELECT e.vec_id, e.v, cent.cid,
-         round(list_dot_product(e.v, cent.c) /
-               (sqrt(list_dot_product(e.v, e.v)) *
-                sqrt(list_dot_product(cent.c, cent.c))), 6) AS cc
+         CASE WHEN sqrt(list_dot_product(e.v, e.v)) = 0.0
+                OR sqrt(list_dot_product(cent.c, cent.c)) = 0.0
+              THEN CAST(-1.0 AS DOUBLE)
+              ELSE round(list_dot_product(e.v, cent.c) /
+                         (sqrt(list_dot_product(e.v, e.v)) *
+                          sqrt(list_dot_product(cent.c, cent.c))), 6)
+         END AS cc
   FROM e CROSS JOIN cent),
 assign AS (
   SELECT vec_id, v, cid AS cell FROM (
@@ -795,10 +805,16 @@ def _ivf_pq_sql(residual: bool = False) -> str:
     (query, probed cell) from the query residual q − c(cell)."""
 
     def cos(a: str, b: str, nd: int) -> str:
+        # zero-norm guard mirroring ivf_assign/ivf_probe_cells: Spark pins
+        # the cosine of a zero vector to -1.0 (lowest cell wins); without
+        # this the oracle's x/0 -> NULL/NaN would rank differently
         return (
-            f"round(list_dot_product({a}, {b}) /"
+            f"CASE WHEN sqrt(list_dot_product({a}, {a})) = 0.0"
+            f" OR sqrt(list_dot_product({b}, {b})) = 0.0"
+            f" THEN CAST(-1.0 AS DOUBLE)"
+            f" ELSE round(list_dot_product({a}, {b}) /"
             f" (sqrt(list_dot_product({a}, {a})) *"
-            f" sqrt(list_dot_product({b}, {b}))), {nd})"
+            f" sqrt(list_dot_product({b}, {b}))), {nd}) END"
         )
 
     def d2(x: str, y: str) -> str:

@@ -332,7 +332,14 @@ def maintain_warehouse(wh: ParquetWarehouse, expire: bool = False) -> dict:
     for table, keys in COMPACT_SORT_KEYS.items():
         if not (wh.root / table).exists():
             continue
-        m = wh.compact_appends(table, sort_by=keys)
+        # a crashed run can leave the table dir with only staged
+        # (uncommitted) data — maintenance must skip it, not abort the
+        # crawl loop; compact_appends signals that with ValueError
+        try:
+            m = wh.compact_appends(table, sort_by=keys)
+        except ValueError as exc:
+            stats[table] = {"skipped": str(exc)}
+            continue
         if expire:
             m["expired_dirs"] = wh.expire_compacted(table)
         stats[table] = {

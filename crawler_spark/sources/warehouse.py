@@ -204,19 +204,33 @@ class ParquetWarehouse:
         if tmp.exists():
             shutil.rmtree(tmp)
         out.write.mode("overwrite").parquet(str(tmp))
+        # Never touch the PUBLISHED directory before the marker swap: a
+        # re-compaction with the same `through` bound must not rmtree the
+        # dir _compaction.json still points at (a crash between delete and
+        # publish would leave every reader on a dangling marker).  Each
+        # rewrite gets a fresh dir; the superseded one is removed only
+        # AFTER the marker atomically moves off it (and expire_compacted
+        # sweeps any stragglers a crash leaves behind).
+        prev = self._compaction(table)
         dest = self.root / table / f"compact={through}"
-        if dest.exists():
-            shutil.rmtree(dest)
+        k = 1
+        while dest.exists():
+            dest = self.root / table / f"compact={through}.r{k}"
+            k += 1
         os.replace(tmp, dest)
         marker = {
             "through": through,
-            "dir": f"compact={through}",
+            "dir": dest.name,
             "sort_by": sort_by,
             "zorder_by": zorder_by,
         }
         mtmp = self.root / table / ".compaction.json.tmp"
         mtmp.write_text(json.dumps(marker))
         os.replace(mtmp, self.root / table / "_compaction.json")
+        if prev is not None and prev["dir"] != marker["dir"]:
+            stale = self.root / table / prev["dir"]
+            if stale.exists():
+                shutil.rmtree(stale)
         out_files = list(dest.glob("part-*.parquet"))
         return {
             "table": table,

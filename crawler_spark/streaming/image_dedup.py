@@ -11,10 +11,14 @@ cost is O(new·chunks) — the streaming analog of the batch
 (phash_incremental_pairs), so batch and streaming agree by construction.
 
 Idempotence under micro-batch replay (a foreachBatch retry after a crash
-re-runs the same batch_id): near-pairs land in a ``batch_id=<id>`` partition
-with dynamic partition overwrite, so a replay overwrites its own output
-instead of duplicating it; index and member appends are anti-joined against
-the stored state first, so re-appending is a no-op.
+re-runs the same batch_id): ALL THREE state tables — near_pairs, members,
+and the value index — are written as ``batch_id=<id>`` partitions with
+dynamic partition overwrite, and the recomputation reads prior state as
+``batch_id != current`` only.  A crashed attempt's partial partitions are
+therefore invisible to the replay (it recomputes the FULL batch, not just
+the not-yet-appended remainder) and are overwritten wholesale — plain
+appends would make a half-written members table shrink the replay's novel
+set and silently drop the missing images' pairs.
 """
 
 from __future__ import annotations
@@ -81,23 +85,40 @@ def start_image_dedup_stream(
         .dropDuplicatesWithinWatermark(["image_id"])
     )
 
+    def _overwrite_partition(df: DataFrame, batch_id: int, path: str) -> None:
+        (
+            df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark_b = batch_df.sparkSession
         batch = batch_df.select("image_id", "phash")
         try:
-            members = spark_b.read.parquet(members_path)
+            prior = F.col("batch_id") != batch_id
+            members = (
+                spark_b.read.parquet(members_path)
+                .filter(prior)
+                .select("image_id", "phash")
+            )
+            index = (
+                spark_b.read.parquet(index_path)
+                .filter(prior)
+                .select("phash", "chunk_id", "chunk_val")
+            )
         except Exception:
             members = spark_b.createDataFrame(
                 [], "image_id string, phash long"
             )
-        try:
-            index = spark_b.read.parquet(index_path)
-        except Exception:
             index = spark_b.createDataFrame(
                 [], "phash long, chunk_id int, chunk_val long"
             )
-        # replay safety: a redelivered image_id is already a member — drop
-        # it from the batch so pairs/index/members all stay idempotent
+        # only COMMITTED prior batches count as members (the batch_id !=
+        # current filter above hides a crashed attempt's partial state);
+        # a cross-batch redelivery is already a member and drops out here
         novel = batch.join(
             members.select("image_id"), "image_id", "left_anti"
         )
@@ -110,22 +131,18 @@ def start_image_dedup_stream(
             max_hamming=max_hamming,
             max_chunk_df=max_chunk_df,
         )
-        (
-            pairs.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(pairs_path)
-        )
+        _overwrite_partition(pairs, batch_id, pairs_path)
         new_vals = (
             novel.select("phash")
             .distinct()
             .join(index.select("phash").distinct(), "phash", "left_anti")
         )
-        phash_value_index(new_vals, bits=bits, chunks=chunks).write.mode(
-            "append"
-        ).parquet(index_path)
-        novel.write.mode("append").parquet(members_path)
+        _overwrite_partition(
+            phash_value_index(new_vals, bits=bits, chunks=chunks),
+            batch_id,
+            index_path,
+        )
+        _overwrite_partition(novel, batch_id, members_path)
 
     return (
         stream.writeStream.foreachBatch(process_batch)

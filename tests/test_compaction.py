@@ -197,3 +197,24 @@ def test_unpublished_compaction_is_invisible(spark, tmp_path):
     m = wh.compact_appends("problems", target_file_bytes=1 << 30)
     assert m["files_after"] == 1
     assert _rows(wh.read_appends("problems")) == before
+
+
+def test_recompaction_same_bound_never_deletes_published_dir(
+    spark, tmp_path
+):
+    """Re-compacting with the SAME through bound must not touch the
+    directory the published _compaction.json points at before the marker
+    swap: the rewrite lands in a fresh dir, the marker moves atomically,
+    and only then is the superseded dir removed."""
+    wh = ParquetWarehouse(str(tmp_path / "wh"), spark)
+    _stage_gen(spark, wh, 0)
+    before = _rows(wh.read_appends("problems"))
+    m1 = wh.compact_appends("problems", target_file_bytes=1 << 30)
+    m2 = wh.compact_appends("problems", target_file_bytes=1 << 30)
+    assert m1["through"] == m2["through"]
+    assert m1["dir"] != m2["dir"], "rewrite reused the live directory name"
+    # reads stay valid throughout and the superseded dir is gone
+    assert _rows(wh.read_appends("problems")) == before
+    table_dir = tmp_path / "wh" / "problems"
+    assert not (table_dir / m1["dir"]).exists()
+    assert (table_dir / m2["dir"]).exists()

@@ -91,3 +91,25 @@ def test_due_or_changed_duplicate_key_last_wins_deterministic(spark):
         for i in range(3)
     ]
     assert results[0] == results[1] == results[2] == {"1": True, "2": False}
+
+
+def test_due_or_changed_version_tie_resolves_deterministically(spark):
+    """Two duplicate-key rows sharing the SAME max version must still pick
+    one deterministic winner: max_by ranks by struct(version, compare), so
+    the version tie falls through to max(compare) instead of aggregation
+    encounter order."""
+    from crawler_spark.operators.membership import due_or_changed
+
+    listing = spark.createDataFrame(
+        [("uoj", "1", "bbb")], "judge string, pid string, title string"
+    )
+    seen = spark.createDataFrame(
+        [("uoj", "1", "aaa", 2), ("uoj", "1", "bbb", 2)],
+        "judge string, pid string, title string, version int",
+    )
+    for n in (2, 5, 9):
+        got = due_or_changed(
+            listing, seen.repartition(n), version="version"
+        ).collect()
+        # tie on version=2 -> max(title)='bbb' == listing title -> not due
+        assert [r.is_due for r in got] == [False], f"partitions={n}"
