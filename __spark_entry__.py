@@ -47,11 +47,11 @@ DEFER_TO_TAIL = [
     "w1_listing_snapshot",
     "a4_max_over_paginator",
     "s12_state_recovery",
-    # ninth..sixteenth slots: registry grew to 66 this round
+    # ninth..eighteenth slots: registry grew to 68 this round
     # (image_phash_incremental, image_dedup_representatives, ann_pq_adc,
     # ann_ivf_pq, ann_ivf_pq_residual, image_caption_joint_dedup,
-    # text_decontaminate, text_repetition — new queries must sit inside
-    # the window)
+    # text_decontaminate, text_repetition, sample_host_cap,
+    # text_pii_scrub — new queries must sit inside the window)
     "j3_chosen_semijoin",
     "s7_listing_expand",
     "a3_admission_budget",
@@ -60,6 +60,8 @@ DEFER_TO_TAIL = [
     "t1_link_extraction",
     "c1_politeness_gaps",
     "dedup_exact",
+    "text_quality",
+    "text_langid",
 ]
 
 

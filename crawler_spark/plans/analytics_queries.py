@@ -1422,6 +1422,119 @@ FROM s GROUP BY user_id, session_idx
 """
 
 
+def q_sample_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap — the C4/RefinedWeb-style guard against
+    over-represented hosts dominating a training mix: keep at most K docs
+    per source, chosen as the K smallest seeded-md5 ranks (a deterministic
+    uniform sample per source, reproducible across engines unlike rand()).
+    The window partitions by source, so at corpus scale this is one
+    shuffle on the (bounded-cardinality) source key; a skewed giant source
+    pre-prunes with the same subpartition trick frontier selection uses."""
+    from pyspark.sql import Window
+
+    cap = 40
+    d = _t(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("cap1:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "source", h.alias("__h"))
+        .withColumn("rank_in_source", F.row_number().over(w))
+        .filter(F.col("rank_in_source") <= cap)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "source",
+            F.col("rank_in_source").cast("int").alias("rank_in_source"),
+        )
+    )
+
+
+SQL_SAMPLE_HOST_CAP = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('cap1:' || CAST(doc_id AS VARCHAR)) ASC,
+                    doc_id ASC) AS rank_in_source
+  FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CAST(rank_in_source AS INTEGER) AS rank_in_source
+FROM ranked WHERE rank_in_source <= 40
+"""
+
+
+_PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE_RE = r"\d{3}-\d{4}"
+
+
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass a training pipeline runs before
+    tokenization: count and replace email addresses and phone-shaped
+    spans with placeholder tokens.  PII is PLANTED deterministically (every
+    13th doc gains an email, every 17th a phone) since the synthetic corpus
+    contains none; the patterns stay in the RE2∩Java common regex subset so
+    Spark and DuckDB match identically, and the output carries exact match
+    counts plus md5 of the redacted text so the oracle verifies the full
+    rewritten payload, not just the counts.  Pure regexp column exprs —
+    map-side, no shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 17 == 0, F.lit(" call 555-0142")).otherwise(
+            F.lit("")
+        ),
+    )
+    t = d.select("doc_id", planted.alias("t"))
+    # column API, not F.expr: SQL string literals eat the regex backslashes
+    n_emails = F.size(
+        F.regexp_extract_all(F.col("t"), F.lit(_PII_EMAIL_RE), F.lit(0))
+    )
+    n_phones = F.size(
+        F.regexp_extract_all(F.col("t"), F.lit(_PII_PHONE_RE), F.lit(0))
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace("t", _PII_EMAIL_RE, "<EMAIL>"),
+        _PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return t.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
+SQL_TEXT_PII_SCRUB = f"""
+WITH t AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com now'
+                 ELSE '' END
+         || CASE WHEN doc_id % 17 = 0 THEN ' call 555-0142' ELSE '' END
+           AS t
+  FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(regexp_extract_all(t, '{_PII_EMAIL_RE}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_PII_PHONE_RE}')) AS BIGINT)
+         AS n_phones,
+       md5(regexp_replace(regexp_replace(t, '{_PII_EMAIL_RE}', '<EMAIL>',
+                                         'g'),
+                          '{_PII_PHONE_RE}', '<PHONE>', 'g')) AS clean_md5
+FROM t
+"""
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling for a training mix: per-language
     keep-rates applied via a seeded md5 coin (byte value < rate·256/100) —
@@ -2206,6 +2319,8 @@ ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
+    "sample_host_cap": (q_sample_host_cap, SQL_SAMPLE_HOST_CAP),
+    "text_pii_scrub": (q_text_pii_scrub, SQL_TEXT_PII_SCRUB),
     "pack_token_shards": (q_pack_token_shards, SQL_PACK_TOKEN_SHARDS),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
