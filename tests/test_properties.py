@@ -164,3 +164,52 @@ def test_dequeue_numpy_budget_and_membership(frontier_keys, budget):
         counts[h] = counts.get(h, 0) + 1
     assert all(v <= budget for v in counts.values())
     assert (rank0 < budget).all()
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(codec="ascii", exclude_characters="'\\"),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_minhash_prefix_hash_three_way_parity(spark, shingles):
+    """The cornerstone of the integer minhash signatures: Spark's
+    conv(substring(md5(x),1,15),16,10), DuckDB's ('0x'||substr(md5(x),1,15))
+    ::BIGINT, and Python's int(hexdigest[:15],16) must agree on arbitrary
+    shingle text."""
+    import hashlib
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    rows = [(s,) for s in shingles]
+    df = spark.createDataFrame(rows, "shingle string")
+    got = {
+        r.shingle: r.v
+        for r in df.select(
+            "shingle",
+            F.expr(
+                "CAST(conv(substring(md5(concat('7:', shingle)), 1, 15), "
+                "16, 10) AS BIGINT)"
+            ).alias("v"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for s in set(shingles):
+        py = int(hashlib.md5(f"7:{s}".encode()).hexdigest()[:15], 16)
+        duck = con.execute(
+            "SELECT CAST(concat('0x', substr(md5('7:' || ?), 1, 15)) "
+            "AS BIGINT)",
+            [s],
+        ).fetchone()[0]
+        assert got[s] == py == duck, (s, got[s], py, duck)
