@@ -62,6 +62,11 @@ DEFER_TO_TAIL = [
     "dedup_exact",
     "text_quality",
     "text_langid",
+    # nineteenth..twenty-first: registry grew to 71 (split_holdout,
+    # text_quality_model, sample_source_mix enter the window)
+    "text_tokens",
+    "text_fingerprint",
+    "mm_av_metadata",
 ]
 
 

@@ -1,0 +1,142 @@
+"""Dataset-assembly operators: deterministic holdout splits, a hashed
+linear quality model, and temperature-based source mixing.
+
+These are the last-mile steps a training-data pipeline runs after
+dedup/curation (reference scope: the crawler feeds a training corpus;
+these ops have no reference counterpart and are pure pipeline additions):
+
+* ``assign_split`` — contamination-safe train/valid/test assignment.
+  The split is a pure function of (salt, key): the same document lands in
+  the same split across reruns, backfills, and corpus growth, which is the
+  property that keeps eval sets clean when the corpus is rebuilt.  It is a
+  map-side expression — no shuffle, no state, trivially scales.
+
+* ``hashed_linear_score`` — a fastText-shaped quality classifier: hashed
+  bag-of-words → signed integer weights → per-doc sum.  Real pipelines
+  load trained weights; here the weight of a token is derived from the
+  token's own 60-bit md5 prefix so the whole model is reproducible in any
+  engine with integer arithmetic only (exact cross-engine parity — no
+  float ever enters the score).  The shape is the scalable one: explode →
+  map-side partial sum → one narrow shuffle of (doc_id, partial) longs.
+
+* ``source_mix_weights`` — Pile/LLaMA-style temperature sampling over
+  sources: weight_α(s) ∝ count(s)^α with α=½, computed as
+  floor(sqrt(count)) so the mix table is integer-exact (IEEE sqrt is
+  correctly rounded in every engine).  Output is one row per source —
+  tiny — and the quota allocation is a broadcast-friendly dimension for
+  the actual sampling join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 60-bit md5 prefix as BIGINT — positive in a signed 64-bit lane in every
+# engine.  DuckDB mirror: ('0x' || substr(md5(x),1,15))::BIGINT (bit-equal,
+# verified three-way in tests/test_properties.py for the minhash twin).
+def _h60(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def split_bucket(key: Column, salt: str, buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, buckets) from md5(salt ':' key)."""
+    h = _h60(F.concat(F.lit(salt + ":"), key.cast("string")))
+    return (h % F.lit(buckets)).cast("int")
+
+
+def assign_split(
+    df: DataFrame,
+    key_col: str,
+    salt: str = "split1",
+    valid_pct: int = 5,
+    test_pct: int = 5,
+    buckets: int = 100,
+) -> DataFrame:
+    """Add ``bucket`` and ``split`` ('train'|'valid'|'test') columns.
+
+    bucket < test_pct → test; < test_pct+valid_pct → valid; else train.
+    Purely map-side; the assignment never changes for a given (salt, key),
+    so growing the corpus never moves an old document across splits.
+    """
+    b = split_bucket(F.col(key_col), salt, buckets)
+    return df.withColumn("bucket", b).withColumn(
+        "split",
+        F.when(F.col("bucket") < test_pct, F.lit("test"))
+        .when(F.col("bucket") < test_pct + valid_pct, F.lit("valid"))
+        .otherwise(F.lit("train")),
+    )
+
+
+# Hashed-linear-model constants: weight(token) = h60(token) % MODULUS - BIAS
+# gives signed pseudo-weights in [-998, 998] with zero mean over uniform
+# hashes; a doc "keeps" when its summed weight is positive.  MODULUS is
+# prime so low bits of the hash don't bias the sign.
+MODEL_MODULUS = 1997
+MODEL_BIAS = 998
+
+
+def token_weight(token: Column) -> Column:
+    """Signed integer weight of a token under the hashed linear model."""
+    return (_h60(token) % F.lit(MODEL_MODULUS)) - F.lit(MODEL_BIAS)
+
+
+def hashed_linear_score(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc quality score: Σ token_weight over whitespace tokens.
+
+    Explode + hash-aggregate: the md5 per token is whole-stage-codegen'd,
+    the sum combines map-side, and the only shuffle moves (doc_id,
+    partial_sum) longs — at 10^10 docs this is one narrow exchange, not a
+    text shuffle.  Returns (id, n_tokens BIGINT, score BIGINT,
+    keep BOOLEAN).
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("token"),
+    ).filter(F.col("token") != "")
+    return toks.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(token_weight(F.col("token"))).cast("long").alias("score"),
+    ).withColumn("keep", F.col("score") > 0)
+
+
+def source_mix_weights(
+    docs: DataFrame,
+    source_col: str = "source",
+    budget: int = 1000,
+) -> DataFrame:
+    """Temperature-½ source mixing: per source s,
+    w(s) = floor(sqrt(n_docs(s))); weight_e6 = w·10⁶ div Σw;
+    quota = budget·w div Σw (truncating integer division — the fractional
+    remainders are deliberately dropped; a largest-remainder top-up is a
+    driver-side 20-row fix-up, not a distributed concern).
+
+    One groupBy on the bounded-cardinality source key, then a scalar total
+    joined back by crossJoin — the totals frame is one row, so Catalyst
+    broadcasts it.  floor(sqrt(n)) is integer-exact cross-engine because
+    IEEE-754 sqrt is correctly rounded everywhere.
+    """
+    per = docs.groupBy(source_col).agg(F.count("*").cast("long").alias("n_docs"))
+    per = per.withColumn(
+        "sqrt_w",
+        F.floor(F.sqrt(F.col("n_docs").cast("double"))).cast("long"),
+    )
+    total = per.agg(F.sum("sqrt_w").alias("total_w"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            source_col,
+            "n_docs",
+            "sqrt_w",
+            F.expr("CAST(sqrt_w * 1000000 div total_w AS BIGINT)").alias(
+                "weight_e6"
+            ),
+            F.expr(f"CAST({budget} * sqrt_w div total_w AS BIGINT)").alias(
+                "quota_docs"
+            ),
+        )
+    )

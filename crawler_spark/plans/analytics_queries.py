@@ -2272,6 +2272,93 @@ FROM scored WHERE quality >= 0.7 GROUP BY source
 # registry
 # ---------------------------------------------------------------------------
 
+def q_split_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test holdout assignment: bucket =
+    60-bit md5('split1:' ‖ doc_id) mod 100; bucket<5 → test, <10 → valid.
+    The split is a pure function of (salt, key) — a document never moves
+    across splits when the corpus is rebuilt or grows, which is the
+    contamination-safety property an eval holdout needs.  Map-side only:
+    no shuffle, no state, scales trivially."""
+    from crawler_spark.operators.assembly import assign_split
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    )
+    return assign_split(d, "doc_id", salt="split1", valid_pct=5, test_pct=5)
+
+
+SQL_SPLIT_HOLDOUT = """
+WITH b AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         CAST(('0x' || substr(md5('split1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % 100 AS INTEGER) AS bucket
+  FROM documents)
+SELECT doc_id, source, bucket,
+       CASE WHEN bucket < 5 THEN 'test'
+            WHEN bucket < 10 THEN 'valid'
+            ELSE 'train' END AS split
+FROM b
+"""
+
+
+def q_text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the fastText-classifier stage of a
+    GPT-3/LLaMA-style pipeline) with a hashed linear model: hashed
+    bag-of-words, signed integer weights derived from each token's own
+    60-bit md5 prefix, per-doc sum, keep ⇔ score>0.  Integer-only math —
+    exact cross-engine parity — and the scalable shape: codegen'd md5 per
+    token, map-side partial sums, one narrow (doc_id, long) exchange."""
+    from crawler_spark.operators.assembly import hashed_linear_score
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return hashed_linear_score(d)
+
+
+SQL_TEXT_QUALITY_MODEL = """
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+  FROM documents),
+flt AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+scored AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(('0x' || substr(md5(token), 1, 15))::BIGINT % 1997 - 998)
+              AS BIGINT) AS score
+  FROM flt GROUP BY doc_id)
+SELECT doc_id, n_tokens, score, score > 0 AS keep
+FROM scored
+"""
+
+
+def q_sample_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-½ source mixing (the Pile/LLaMA sampling-weights table):
+    w(s)=floor(sqrt(n_docs(s))), weight_e6 and a 1000-doc quota by
+    truncating integer division.  One groupBy on the bounded source key +
+    a broadcast one-row total; integer-exact cross-engine (IEEE sqrt is
+    correctly rounded everywhere, division stays integral)."""
+    from crawler_spark.operators.assembly import source_mix_weights
+
+    return source_mix_weights(
+        _t(spark, sf_dir, "documents"), "source", budget=1000
+    )
+
+
+SQL_SAMPLE_SOURCE_MIX = """
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS sqrt_w
+  FROM documents GROUP BY source),
+tot AS (SELECT CAST(sum(sqrt_w) AS BIGINT) AS total_w FROM per)
+SELECT source, n_docs, sqrt_w,
+       CAST(sqrt_w * 1000000 // total_w AS BIGINT) AS weight_e6,
+       CAST(1000 * sqrt_w // total_w AS BIGINT) AS quota_docs
+FROM per, tot
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
@@ -2320,6 +2407,9 @@ ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "sample_host_cap": (q_sample_host_cap, SQL_SAMPLE_HOST_CAP),
+    "sample_source_mix": (q_sample_source_mix, SQL_SAMPLE_SOURCE_MIX),
+    "split_holdout": (q_split_holdout, SQL_SPLIT_HOLDOUT),
+    "text_quality_model": (q_text_quality_model, SQL_TEXT_QUALITY_MODEL),
     "text_pii_scrub": (q_text_pii_scrub, SQL_TEXT_PII_SCRUB),
     "pack_token_shards": (q_pack_token_shards, SQL_PACK_TOKEN_SHARDS),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),

@@ -1,0 +1,92 @@
+"""Semantics tests for the dataset-assembly operators (holdout splits,
+hashed linear quality model, source-mix weights).
+
+Engine-vs-oracle parity is covered by tools/check_oracle.py and the driver
+gate; these pin the *properties* the operators promise: split assignments
+are stable under corpus growth, the hashed model is deterministic with a
+roughly balanced sign, and the mix quotas never oversubscribe the budget.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    )
+
+
+def test_split_is_stable_under_corpus_growth(spark):
+    """A document's split is a pure function of (salt, key): assigning over
+    half the corpus and over the whole corpus must agree on the shared ids —
+    the contamination-safety property that keeps eval sets clean."""
+    from crawler_spark.operators.assembly import assign_split
+
+    full = assign_split(_docs(spark), "doc_id")
+    half = assign_split(_docs(spark).filter(F.col("doc_id") % 2 == 0), "doc_id")
+    joined = (
+        full.alias("f")
+        .join(half.alias("h"), "doc_id")
+        .filter(F.col("f.split") != F.col("h.split"))
+    )
+    assert joined.count() == 0
+
+
+def test_split_fractions_and_salt_independence(spark):
+    from crawler_spark.operators.assembly import assign_split
+
+    n = _docs(spark).count()
+    by = {
+        r["split"]: r["c"]
+        for r in assign_split(_docs(spark), "doc_id")
+        .groupBy("split")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    # ~5% / ~5% / ~90% with slack for a 500-doc corpus
+    assert 0.02 * n <= by.get("test", 0) <= 0.09 * n
+    assert 0.02 * n <= by.get("valid", 0) <= 0.09 * n
+    assert by.get("train", 0) >= 0.8 * n
+    # a different salt reshuffles the assignment (not a constant function)
+    other = assign_split(_docs(spark), "doc_id", salt="split2")
+    moved = (
+        assign_split(_docs(spark), "doc_id")
+        .alias("a")
+        .join(other.alias("b"), "doc_id")
+        .filter(F.col("a.bucket") != F.col("b.bucket"))
+        .count()
+    )
+    assert moved > 0.9 * n
+
+
+def test_hashed_model_deterministic_and_balanced(spark):
+    from crawler_spark.operators.assembly import hashed_linear_score
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    a = {r.doc_id: r.score for r in hashed_linear_score(docs).collect()}
+    b = {r.doc_id: r.score for r in hashed_linear_score(docs).collect()}
+    assert a == b
+    keeps = sum(1 for s in a.values() if s > 0)
+    # pseudo-weights are zero-mean: keep-rate lands well inside (0, 1)
+    assert 0.2 < keeps / len(a) < 0.8
+
+
+def test_source_mix_quota_never_oversubscribes(spark):
+    from crawler_spark.operators.assembly import source_mix_weights
+
+    rows = source_mix_weights(_docs(spark), budget=1000).collect()
+    assert sum(r.quota_docs for r in rows) <= 1000
+    assert all(r.weight_e6 >= 0 for r in rows)
+    assert sum(r.weight_e6 for r in rows) <= 1_000_000
+    # sqrt temperature flattens the mix: the largest source's weight share
+    # never exceeds its document share (power-mean inequality; equality when
+    # all counts match, plus integer-floor slack)
+    tot_docs = sum(r.n_docs for r in rows)
+    big = max(rows, key=lambda r: r.n_docs)
+    assert big.weight_e6 / 1_000_000 <= big.n_docs / tot_docs + 0.01
