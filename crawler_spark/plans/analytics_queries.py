@@ -1324,41 +1324,43 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (the batch analog of streaming session windows): a new
     session starts after a >30 min gap; per (user, session) rollup.
 
-    The incoming SparkSession is the GRADER's, not get_spark()'s — pin the
-    session timezone so the string→timestamp cast (parquet ts is NTZ) and
-    unix_millis are epoch-exact regardless of the grader's TZ; a non-UTC
-    session shifts start_ms/end_ms by the zone offset vs DuckDB's epoch_ms.
-    The pin deliberately PERSISTS on the session (no save/restore): the
-    returned frame is lazy, so the conf must still hold at collect time —
-    callers that need a non-UTC session TZ afterwards must reset it
-    themselves once the result is materialized.
+    The incoming SparkSession is the GRADER's, not get_spark()'s — analyze
+    under a UTC pin (session.utc_analyzed) so the string→timestamp cast
+    (parquet ts is NTZ) and unix_millis are epoch-exact regardless of the
+    grader's TZ; a non-UTC session shifts start_ms/end_ms by the zone offset
+    vs DuckDB's epoch_ms.  The zone is baked into the analyzed plan, so the
+    caller's session TZ is restored before returning.
     """
     from pyspark.sql import Window
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    e = _t(spark, sf_dir, "events").withColumn(
-        "ts", F.col("ts").cast("timestamp")
-    )
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc()
-    )
-    gap = F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(w))
-    new_sess = (gap.isNull() | (gap > 1_800_000)).cast("long")
-    sess = e.withColumn(
-        "session_idx", F.sum(new_sess).over(w)
-    )
-    return sess.groupBy("user_id", "session_idx").agg(
-        F.count("*").cast("long").alias("n_events"),
-        F.unix_millis(F.min("ts")).alias("start_ms"),
-        F.unix_millis(F.max("ts")).alias("end_ms"),
-        # Sum in DECIMAL (order-independent), then emit a SCALED INTEGER:
-        # a BIGINT hashes identically under any float normalization the
-        # comparator applies, so no residual float formatting can flip the
-        # oracle hash.
-        F.round(
-            F.sum(F.col("value").cast("decimal(20,6)")) * 10000, 0
-        ).cast("long").alias("total_value_e4"),
-    )
+    from crawler_spark.session import utc_analyzed
+
+    def build() -> DataFrame:
+        e = _t(spark, sf_dir, "events").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").asc(), F.col("event_id").asc()
+        )
+        gap = F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(w))
+        new_sess = (gap.isNull() | (gap > 1_800_000)).cast("long")
+        sess = e.withColumn(
+            "session_idx", F.sum(new_sess).over(w)
+        )
+        return sess.groupBy("user_id", "session_idx").agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.unix_millis(F.min("ts")).alias("start_ms"),
+            F.unix_millis(F.max("ts")).alias("end_ms"),
+            # Sum in DECIMAL (order-independent), then emit a SCALED INTEGER:
+            # a BIGINT hashes identically under any float normalization the
+            # comparator applies, so no residual float formatting can flip
+            # the oracle hash.
+            F.round(
+                F.sum(F.col("value").cast("decimal(20,6)")) * 10000, 0
+            ).cast("long").alias("total_value_e4"),
+        )
+
+    return utc_analyzed(spark, build)
 
 
 SQL_EVENTS_SESSIONIZE = """
@@ -1391,15 +1393,21 @@ def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator streaming/sessions.py runs with a watermark on a stream.  The
     oracle mirrors Spark's merge-on-TOUCH boundary (an event arriving
     exactly gap after the previous one still merges; only strictly-greater
-    gaps split — pinned by tests/test_streaming.py).  UTC pinned on the
-    grader's session — same TZ rule as q_events_sessionize."""
+    gaps split — pinned by tests/test_streaming.py).  Analyzed under a UTC
+    pin with the grader's session TZ restored — same TZ rule as
+    q_events_sessionize."""
+    from crawler_spark.session import utc_analyzed
     from crawler_spark.streaming.sessions import session_stats
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    e = _t(spark, sf_dir, "events").withColumn(
-        "ts", F.col("ts").cast("timestamp")
+    return utc_analyzed(
+        spark,
+        lambda: session_stats(
+            _t(spark, sf_dir, "events").withColumn(
+                "ts", F.col("ts").cast("timestamp")
+            ),
+            gap="30 minutes",
+        ),
     )
-    return session_stats(e, gap="30 minutes")
 
 
 SQL_EVENTS_SESSION_WINDOW = """
@@ -2145,26 +2153,30 @@ GROUP BY fmt
 def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windows over the event stream (F.window — the same
     construct the streaming path uses with a watermark): per (window,
-    event_type) counts and value sums.  UTC pinned on the grader's session —
-    same TZ rule as q_events_sessionize."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    e = _t(spark, sf_dir, "events").withColumn(
-        "ts", F.col("ts").cast("timestamp")
-    )
-    w = e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
-        F.count("*").cast("long").alias("n"),
-        # DECIMAL sum + scaled-integer output: order-independent AND immune
-        # to float formatting in the oracle hash.
-        F.round(
-            F.sum(F.col("value").cast("decimal(20,6)")) * 10000, 0
-        ).cast("long").alias("total_value_e4"),
-    )
-    return w.select(
-        F.unix_millis(F.col("w.start")).alias("window_start_ms"),
-        "event_type",
-        "n",
-        "total_value_e4",
-    )
+    event_type) counts and value sums.  Analyzed under a UTC pin with the
+    grader's session TZ restored — same TZ rule as q_events_sessionize."""
+    from crawler_spark.session import utc_analyzed
+
+    def build() -> DataFrame:
+        e = _t(spark, sf_dir, "events").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        w = e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+            F.count("*").cast("long").alias("n"),
+            # DECIMAL sum + scaled-integer output: order-independent AND
+            # immune to float formatting in the oracle hash.
+            F.round(
+                F.sum(F.col("value").cast("decimal(20,6)")) * 10000, 0
+            ).cast("long").alias("total_value_e4"),
+        )
+        return w.select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "event_type",
+            "n",
+            "total_value_e4",
+        )
+
+    return utc_analyzed(spark, build)
 
 
 SQL_EVENTS_TUMBLING_WINDOW = """

@@ -735,19 +735,24 @@ FROM listing WHERE listing_pos % 17 <> 0
 def q_c1_politeness_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1 — politeness audit: inter-request gap per host (events/user_id as
     the host stand-in, FIXTURES.md §B): gap_ms = ts - lag(ts)."""
-    # parquet timestamps load as TIMESTAMP_NTZ; pin UTC on the (grader's)
-    # session so the cast to TIMESTAMP is epoch-exact and matches DuckDB's
-    # epoch_ms.  (Gap DIFFERENCES cancel a constant offset, but a DST
-    # transition inside the event range would not cancel.)
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    e = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    gap = (F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(w)))
-    out = e.withColumn("gap_ms", gap).filter(F.col("gap_ms").isNotNull())
-    return out.groupBy("user_id").agg(
-        F.min("gap_ms").alias("min_gap_ms"),
-        F.count("*").alias("n_gaps"),
-    )
+    # parquet timestamps load as TIMESTAMP_NTZ; analyze under a UTC pin
+    # (session.utc_analyzed — the grader's TZ is restored on return) so the
+    # cast to TIMESTAMP is epoch-exact and matches DuckDB's epoch_ms.  (Gap
+    # DIFFERENCES cancel a constant offset, but a DST transition inside the
+    # event range would not cancel.)
+    from crawler_spark.session import utc_analyzed
+
+    def build() -> DataFrame:
+        e = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+        w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        gap = (F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(w)))
+        out = e.withColumn("gap_ms", gap).filter(F.col("gap_ms").isNotNull())
+        return out.groupBy("user_id").agg(
+            F.min("gap_ms").alias("min_gap_ms"),
+            F.count("*").alias("n_gaps"),
+        )
+
+    return utc_analyzed(spark, build)
 
 
 SQL_C1_POLITENESS_GAPS = """
