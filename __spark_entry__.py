@@ -67,6 +67,8 @@ DEFER_TO_TAIL = [
     "text_tokens",
     "text_fingerprint",
     "mm_av_metadata",
+    # twenty-second: registry grew to 72 (dedup_semantic enters the window)
+    "mm_image_metadata",
 ]
 
 

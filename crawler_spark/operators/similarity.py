@@ -877,3 +877,87 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    eps: float = 0.95,
+    max_inline_centroids: int = 256,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication in embedding
+    space — cluster the corpus with a coarse quantizer, then inside each
+    cluster drop every vector that has a near-identical neighbour
+    (cos ≥ ``eps``) ranked ahead of it.  The paper keeps the member with
+    the LOWEST similarity to its centroid (the cluster's "outlier"
+    preserves the most diversity); ties break on vec_id ascending, so the
+    survivor set is deterministic.
+
+    Shape at scale: assignment is :func:`ivf_assign`'s zero-shuffle
+    map-side argmin; the candidate join is blocked on ``cell``, so the
+    pair count is Σ cell² instead of N² — the number of clusters is the
+    knob (SemDeDup uses k ∝ N so cells stay small and the join stays
+    linear; a skewed cell shows up in the AQE skew-join handling like any
+    hot key).  Only (vec_id, cell, cent_cos) survive to the output — the
+    embeddings never leave the pair stage.
+
+    Returns (vec_id, cell, cent_cos DOUBLE, keep BOOLEAN) for EVERY input
+    row; filter ``keep`` for the deduplicated corpus.
+    """
+    assigned = ivf_assign(emb, centroids, max_inline_centroids)
+    # centroid norms are projected BEFORE the broadcast so the hash relation
+    # stores them materialized — one fold per centroid, not per joined row
+    cent = F.broadcast(
+        centroids.select(
+            F.col("centroid_id").alias("cell"),
+            F.col("c_embedding").alias("__cvec"),
+            F.expr(f"sqrt({_dot('c_embedding', 'c_embedding')})").alias(
+                "__cnorm"
+            ),
+        )
+    )
+    # hoist each row's norm once: the pair stage then costs ONE dot fold per
+    # candidate instead of five (the hoisted sqrt/product sequence is the
+    # identical IEEE op order, so round-6 parity with the oracle holds)
+    cos_cent = F.expr(
+        "CASE WHEN __n = CAST(0.0 AS DOUBLE) OR __cnorm = CAST(0.0 AS DOUBLE)"
+        " THEN CAST(-1.0 AS DOUBLE)"
+        f" ELSE round({_dot('embedding', '__cvec')} / (__n * __cnorm), 6) END"
+    )
+    scored = (
+        assigned.withColumn(
+            "__n", F.expr(f"sqrt({_dot('embedding', 'embedding')})")
+        )
+        .join(cent, "cell")
+        .select("vec_id", "embedding", "__n", "cell", cos_cent.alias("cent_cos"))
+    )
+    a, b = scored.alias("a"), scored.alias("b")
+    better = (F.col("b.cent_cos") < F.col("a.cent_cos")) | (
+        (F.col("b.cent_cos") == F.col("a.cent_cos"))
+        & (F.col("b.vec_id") < F.col("a.vec_id"))
+    )
+    pair_cos = F.expr(
+        "CASE WHEN a.__n = CAST(0.0 AS DOUBLE) OR b.__n = CAST(0.0 AS DOUBLE)"
+        " THEN CAST(-1.0 AS DOUBLE)"
+        f" ELSE round({_dot('a.embedding', 'b.embedding')} / (a.__n * b.__n), 6) END"
+    )
+    dropped = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell")) & better)
+        .filter(pair_cos >= F.lit(eps))
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        scored.drop("embedding")
+        .join(
+            dropped.withColumn("__dropped", F.lit(True)),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            "cell",
+            "cent_cos",
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("keep"),
+        )
+    )

@@ -403,6 +403,70 @@ WHERE round({COS_AB}, 4) >= 0.8
 """
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings with a coarse
+    quantizer, drop every vector with a near-identical (cos ≥ 0.8)
+    neighbour ranked ahead of it inside its cluster; the survivor of each
+    near-dup group is the member FARTHEST from its centroid (max
+    diversity), ties on vec_id.  Assignment is the zero-shuffle map-side
+    argmin; the candidate join is cell-blocked (Σ cell², never N²)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+    )
+    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("c_embedding"),
+    )
+    out = SIM.semantic_dedup(emb, centroids, eps=0.8)
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cell").cast("long").alias("cell"),
+        F.col("cent_cos").cast("double").alias("cent_cos"),
+        F.col("keep").cast("boolean").alias("keep"),
+    )
+
+
+def _semantic_dedup_sql(eps: float = 0.8) -> str:
+    def cos6(x: str, y: str) -> str:
+        return (
+            f"CASE WHEN sqrt(list_dot_product({x}, {x})) = 0.0"
+            f"  OR sqrt(list_dot_product({y}, {y})) = 0.0"
+            f" THEN CAST(-1.0 AS DOUBLE)"
+            f" ELSE round(list_dot_product({x}, {y}) /"
+            f" (sqrt(list_dot_product({x}, {x})) *"
+            f" sqrt(list_dot_product({y}, {y}))), 6) END"
+        )
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT e.vec_id, e.v, cent.cid, {cos6('e.v', 'cent.c')} AS cc
+  FROM e CROSS JOIN cent),
+assign AS (
+  SELECT vec_id, v, cid AS cell, cc AS cent_cos FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cc DESC, cid ASC) AS rn
+    FROM scored) WHERE rn = 1),
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM assign a JOIN assign b ON a.cell = b.cell
+   AND (b.cent_cos < a.cent_cos
+        OR (b.cent_cos = a.cent_cos AND b.vec_id < a.vec_id))
+  WHERE {cos6('a.v', 'b.v')} >= {eps})
+SELECT CAST(a.vec_id AS BIGINT) AS vec_id, CAST(a.cell AS BIGINT) AS cell,
+       CAST(a.cent_cos AS DOUBLE) AS cent_cos,
+       (d.vec_id IS NULL) AS keep
+FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+"""
+
+
+SQL_DEDUP_SEMANTIC = _semantic_dedup_sql()
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -2419,6 +2483,7 @@ ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "sample_host_cap": (q_sample_host_cap, SQL_SAMPLE_HOST_CAP),
+    "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
     "sample_source_mix": (q_sample_source_mix, SQL_SAMPLE_SOURCE_MIX),
     "split_holdout": (q_split_holdout, SQL_SPLIT_HOLDOUT),
     "text_quality_model": (q_text_quality_model, SQL_TEXT_QUALITY_MODEL),

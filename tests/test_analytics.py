@@ -1183,3 +1183,30 @@ def test_tz_pinned_queries_do_not_mutate_session(spark):
             assert got == want, f"{fn.__name__} is session-TZ-sensitive"
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_semantic_dedup_keeps_farthest_from_centroid(spark):
+    """SemDeDup keep rule: inside a near-dup group (pairwise cos >= eps in
+    one cell) the survivor is the member with the LOWEST centroid cosine
+    (the cluster outlier), ties on vec_id; members below eps survive."""
+    from crawler_spark.operators.similarity import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),   # cell 0, cent_cos 1.0
+            (2, [2.0, 0.0]),   # same direction as 1 -> near-dup, cent_cos 1.0
+            (3, [0.9, 0.1]),   # cos 0.9938 to 1/2 -> in the group, farthest
+            (4, [0.5, 0.5]),   # cos 0.707 to centroid -> below eps, survives
+            (5, [0.0, 1.0]),   # cell 1, alone
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "centroid_id long, c_embedding array<double>",
+    )
+    rows = {r.vec_id: r for r in semantic_dedup(emb, cents, eps=0.99).collect()}
+    assert {v for v, r in rows.items() if r.keep} == {3, 4, 5}
+    assert rows[1].cell == 0 and rows[5].cell == 1
+    # the survivor of the group is the one farthest from the centroid
+    assert rows[3].cent_cos < rows[1].cent_cos
