@@ -67,8 +67,11 @@ DEFER_TO_TAIL = [
     "text_tokens",
     "text_fingerprint",
     "mm_av_metadata",
-    # twenty-second: registry grew to 72 (dedup_semantic enters the window)
+    # twenty-second..twenty-fourth: registry grew to 74 (dedup_semantic,
+    # image_aspect_buckets, pack_image_shards enter the window)
     "mm_image_metadata",
+    "mm_decode_features",
+    "dedup_simhash",
 ]
 
 

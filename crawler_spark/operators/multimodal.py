@@ -460,3 +460,101 @@ def sample_frames(videos: DataFrame, every_n: int = 30) -> DataFrame:
             )
 
     return videos.select("video_id", "bytes").mapInPandas(run, FRAME_SCHEMA)
+
+
+# SDXL/NaViT-style aspect-ratio buckets: (name, bw, bh) ratio targets.  The
+# CASE chain below assigns each image to the bucket minimizing
+# |w/h − bw/bh| with EXACT integer arithmetic: the pairwise comparison
+# |w·bh_i − h·bw_i| / bh_i is cross-multiplied by the product of all bh so
+# every score is a small BIGINT — identical in any engine, no float ratios.
+ASPECT_BUCKETS: tuple[tuple[str, int, int], ...] = (
+    ("square_1_1", 1, 1),
+    ("landscape_4_3", 4, 3),
+    ("portrait_3_4", 3, 4),
+    ("wide_16_9", 16, 9),
+    ("tall_9_16", 9, 16),
+)
+
+
+def aspect_bucket_case(
+    w: str = "w",
+    h: str = "h",
+    buckets: tuple[tuple[str, int, int], ...] = ASPECT_BUCKETS,
+) -> str:
+    """ANSI-SQL CASE expression assigning (w, h) to its nearest
+    aspect-ratio bucket (ties → earliest bucket in the list).
+
+    The string is valid in BOTH Spark SQL and DuckDB, so the oracle runs
+    the LITERAL same expression — the assignment cannot drift between
+    engines.  Pure integer codegen arithmetic: no shuffle, no UDF.
+    """
+    import math
+
+    prod_bh = math.prod(bh for _, _, bh in buckets)
+    scores = [
+        f"(abs({w} * {bh} - {h} * {bw}) * {prod_bh // bh})"
+        for _, bw, bh in buckets
+    ]
+    arms = []
+    for i, (name, _, _) in enumerate(buckets[:-1]):
+        conds = " AND ".join(
+            f"{scores[i]} <= {scores[j]}" for j in range(i + 1, len(buckets))
+        )
+        arms.append(f"WHEN {conds} THEN '{name}'")
+    return (
+        "CASE " + " ".join(arms) + f" ELSE '{buckets[-1][0]}' END"
+    )
+
+
+def aspect_bucket_rollup(images: DataFrame) -> DataFrame:
+    """Per-aspect-bucket batching stats (the SDXL/NaViT bucketing table):
+    n_images, total decoded pixels, and the w/h envelope per bucket.  The
+    bucket column is a map-side integer expression; one groupBy on a
+    5-value key — broadcast-sized output at any corpus scale."""
+    return (
+        images.withColumn("bucket", F.expr(aspect_bucket_case()))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_images"),
+            F.sum(F.col("w").cast("long") * F.col("h")).cast("long").alias(
+                "total_pixels"
+            ),
+            F.min("w").cast("int").alias("min_w"),
+            F.max("w").cast("int").alias("max_w"),
+            F.min("h").cast("int").alias("min_h"),
+            F.max("h").cast("int").alias("max_h"),
+        )
+    )
+
+
+def pack_image_shards(
+    images: DataFrame, budget_bytes: int = 1_000_000, part_col: str = "fmt"
+) -> DataFrame:
+    """WebDataset-style shard packing: within each ``part_col`` group (the
+    parallel packing unit — shards are homogeneous per format), images in
+    image_id order are packed into shards whose DECODED size (w·h·3 RGB
+    bytes — the batch-memory cost, not the on-disk envelope) stays within
+    ``budget_bytes`` via a running sum: shard_idx = floor((cumsum − est) /
+    budget).  One window shuffle on the bounded part_col key; an oversized
+    single image still lands alone in its own shard (the floor rule), never
+    stalls the packer."""
+    from pyspark.sql import Window
+
+    est = (F.col("w").cast("long") * F.col("h") * 3).alias("est_bytes")
+    d = images.select("image_id", part_col, est)
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy("image_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # integer `div`, not float floor: a 100-TB corpus's per-group byte
+    # cumsum exceeds the 2^53 exact-double range, where floor(x/b) on a
+    # rounded double could mis-assign a boundary image
+    return d.withColumn("__cum", F.sum("est_bytes").over(w)).select(
+        "image_id",
+        part_col,
+        F.col("est_bytes").cast("long").alias("est_bytes"),
+        F.expr(f"CAST((__cum - est_bytes) div {budget_bytes} AS BIGINT)").alias(
+            "shard_idx"
+        ),
+    )

@@ -1346,6 +1346,66 @@ FROM imgs GROUP BY fmt
 """
 
 
+_IMGS_CTE = """
+  SELECT 'img-' || CAST(doc_id AS VARCHAR) AS image_id,
+         unhex(md5(text)) AS bytes,
+         CAST((strpos('0123456789abcdef', substr(md5(text), 1, 1))) * 16 + 16 AS INTEGER) AS w,
+         CAST((strpos('0123456789abcdef', substr(md5(text), 2, 1))) * 16 + 16 AS INTEGER) AS h,
+         (['png', 'jpeg', 'webp'])[CAST(doc_id % 3 AS INTEGER) + 1] AS fmt,
+         substr(text, 1, 40) AS caption
+  FROM documents
+"""
+
+
+def q_image_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SDXL/NaViT aspect-ratio bucketing: every image is assigned to its
+    nearest ratio bucket (square/4:3/3:4/16:9/9:16) with EXACT integer
+    cross-multiplied distances — the bucket CASE expression is the literal
+    same SQL string in Spark and the DuckDB oracle, so the assignment
+    cannot drift.  Map-side expr + one 5-key groupBy; output is
+    broadcast-sized at any corpus scale (the batching table a trainer
+    broadcasts back against the corpus)."""
+    imgs = MM.synthesize_images(_t(spark, sf_dir, "documents"))
+    return MM.aspect_bucket_rollup(imgs)
+
+
+def _aspect_buckets_sql() -> str:
+    from crawler_spark.operators.multimodal import aspect_bucket_case
+
+    return f"""
+WITH imgs AS ({_IMGS_CTE}),
+b AS (SELECT *, {aspect_bucket_case()} AS bucket FROM imgs)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_images,
+       CAST(sum(CAST(w AS BIGINT) * h) AS BIGINT) AS total_pixels,
+       CAST(min(w) AS INTEGER) AS min_w, CAST(max(w) AS INTEGER) AS max_w,
+       CAST(min(h) AS INTEGER) AS min_h, CAST(max(h) AS INTEGER) AS max_h
+FROM b GROUP BY bucket
+"""
+
+
+SQL_IMAGE_ASPECT_BUCKETS = _aspect_buckets_sql()
+
+
+def q_pack_image_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style image shard packing: per fmt (the parallel packing
+    unit), images in image_id order pack into shards of ≤1 MB DECODED size
+    (w·h·3) via a running sum with integer `div` — exact at any cumsum
+    magnitude.  One window shuffle on the bounded fmt key."""
+    imgs = MM.synthesize_images(_t(spark, sf_dir, "documents"))
+    return MM.pack_image_shards(imgs, budget_bytes=1_000_000)
+
+
+SQL_PACK_IMAGE_SHARDS = f"""
+WITH imgs AS ({_IMGS_CTE}),
+e AS (SELECT image_id, fmt, CAST(w AS BIGINT) * h * 3 AS est_bytes FROM imgs)
+SELECT image_id, fmt, CAST(est_bytes AS BIGINT) AS est_bytes,
+       CAST((sum(est_bytes) OVER (PARTITION BY fmt ORDER BY image_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - est_bytes) // 1000000 AS BIGINT) AS shard_idx
+FROM e
+"""
+
+
 def q_mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     imgs = MM.synthesize_images(_t(spark, sf_dir, "documents"))
     return MM.decode_features(imgs)
@@ -2484,6 +2544,8 @@ ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "sample_host_cap": (q_sample_host_cap, SQL_SAMPLE_HOST_CAP),
     "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
+    "image_aspect_buckets": (q_image_aspect_buckets, SQL_IMAGE_ASPECT_BUCKETS),
+    "pack_image_shards": (q_pack_image_shards, SQL_PACK_IMAGE_SHARDS),
     "sample_source_mix": (q_sample_source_mix, SQL_SAMPLE_SOURCE_MIX),
     "split_holdout": (q_split_holdout, SQL_SPLIT_HOLDOUT),
     "text_quality_model": (q_text_quality_model, SQL_TEXT_QUALITY_MODEL),

@@ -1210,3 +1210,62 @@ def test_semantic_dedup_keeps_farthest_from_centroid(spark):
     assert rows[1].cell == 0 and rows[5].cell == 1
     # the survivor of the group is the one farthest from the centroid
     assert rows[3].cent_cos < rows[1].cent_cos
+
+
+def test_aspect_bucket_assignment_exact(spark):
+    """Hand-checked nearest-ratio assignments, including an off-ratio image
+    and the exact-tie rule (earliest bucket in the list wins)."""
+    from crawler_spark.operators.multimodal import aspect_bucket_case
+
+    imgs = spark.createDataFrame(
+        [
+            (1, 100, 100),   # exactly 1:1
+            (2, 160, 90),    # exactly 16:9
+            (3, 90, 160),    # exactly 9:16
+            (4, 400, 300),   # exactly 4:3
+            (5, 300, 400),   # exactly 3:4
+            (6, 110, 100),   # 1.10 -> nearest 1:1 (vs 4/3=1.33)
+            (7, 150, 100),   # 1.50 -> nearest 16:9? |1.5-1.33|=.17 < |1.5-1.78|=.28 -> 4:3
+        ],
+        "id long, w int, h int",
+    )
+    got = {
+        r.id: r.bucket
+        for r in imgs.selectExpr("id", aspect_bucket_case() + " AS bucket").collect()
+    }
+    assert got == {
+        1: "square_1_1",
+        2: "wide_16_9",
+        3: "tall_9_16",
+        4: "landscape_4_3",
+        5: "portrait_3_4",
+        6: "square_1_1",
+        7: "landscape_4_3",
+    }
+
+
+def test_pack_image_shards_budget_and_order(spark):
+    """Packing invariants: shard indices are contiguous from 0 per group in
+    image_id order; every shard's first member starts below the budget
+    boundary (the floor rule); an oversized image gets its own shard."""
+    from crawler_spark.operators.multimodal import pack_image_shards
+
+    imgs = spark.createDataFrame(
+        [
+            ("a", "png", 300, 1),    # est 900
+            ("b", "png", 300, 1),    # est 900
+            ("c", "png", 2000, 1),   # est 6000 - oversized vs budget 1000
+            ("d", "png", 300, 1),    # est 900
+            ("e", "jpeg", 10, 10),   # separate group
+        ],
+        "image_id string, fmt string, w int, h int",
+    )
+    rows = sorted(
+        pack_image_shards(imgs, budget_bytes=1000).collect(),
+        key=lambda r: (r.fmt, r.image_id),
+    )
+    png = [(r.image_id, r.shard_idx) for r in rows if r.fmt == "png"]
+    # a starts shard 0; b's cumsum-before=900 < 1000 -> still shard 0;
+    # c starts at 1800 -> shard 1 (alone, oversized); d at 7800 -> shard 7
+    assert png == [("a", 0), ("b", 0), ("c", 1), ("d", 7)]
+    assert [r.shard_idx for r in rows if r.fmt == "jpeg"] == [0]
