@@ -72,6 +72,8 @@ DEFER_TO_TAIL = [
     "mm_image_metadata",
     "mm_decode_features",
     "dedup_simhash",
+    # twenty-fifth: registry grew to 75 (quality_calibrated enters)
+    "dedup_ngram_jaccard",
 ]
 
 

@@ -140,3 +140,32 @@ def source_mix_weights(
             ),
         )
     )
+
+
+def calibrated_quality_gate(
+    scored: DataFrame,
+    by: str = "source",
+    pct: float = 0.7,
+) -> DataFrame:
+    """Per-group calibrated quality thresholding (the CCNet move: raw
+    quality/perplexity scores are NOT comparable across sources or
+    languages, so the keep-threshold is a per-group quantile, not a global
+    constant).  ``scored`` must carry BIGINT ``score`` and the ``by`` key.
+
+    keep ⇔ score·10⁴ ≥ round(percentile_{pct}(score)·10⁴) — the comparison
+    runs in scaled integers so the interpolated threshold hashes and gates
+    identically in every engine (Spark ``percentile`` and DuckDB
+    ``quantile_cont`` are both type-7 linear interpolation).
+
+    Shape: one partial-aggregating groupBy on the bounded ``by`` key for
+    the threshold table (rows = #groups, broadcast-sized at any corpus
+    scale), then a broadcast join back — the corpus never shuffles.
+    """
+    thr = scored.groupBy(by).agg(
+        F.round(F.expr(f"percentile(score, {pct})") * 10000, 0)
+        .cast("long")
+        .alias("thr_e4")
+    )
+    return scored.join(F.broadcast(thr), by).withColumn(
+        "keep", F.col("score") * 10000 >= F.col("thr_e4")
+    )

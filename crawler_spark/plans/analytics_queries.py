@@ -2469,6 +2469,59 @@ FROM scored
 """
 
 
+def q_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source calibrated quality gate (CCNet-style): the hashed-model
+    score is thresholded at each SOURCE's own 70th percentile instead of a
+    global constant — raw quality scores are not comparable across
+    sources.  Threshold table is one bounded-key groupBy (broadcast-sized);
+    the corpus takes one narrow (doc_id, long) exchange for the scores and
+    a broadcast join for the gate."""
+    from crawler_spark.operators.assembly import (
+        calibrated_quality_gate,
+        hashed_linear_score,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source", "text"
+    )
+    scored = hashed_linear_score(d.select("doc_id", "text")).join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    out = calibrated_quality_gate(scored, by="source", pct=0.7)
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("score").cast("long").alias("score"),
+        F.col("thr_e4").cast("long").alias("thr_e4"),
+        F.col("keep").cast("boolean").alias("keep"),
+    )
+
+
+SQL_QUALITY_CALIBRATED = """
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+  FROM documents),
+flt AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+scored AS (
+  SELECT doc_id,
+         CAST(sum(('0x' || substr(md5(token), 1, 15))::BIGINT % 1997 - 998)
+              AS BIGINT) AS score
+  FROM flt GROUP BY doc_id),
+j AS (
+  SELECT s.doc_id, d.source, s.score
+  FROM scored s JOIN documents d ON s.doc_id = CAST(d.doc_id AS BIGINT)),
+thr AS (
+  SELECT source,
+         CAST(round(CAST(quantile_cont(score, 0.7) AS DOUBLE) * 10000)
+              AS BIGINT) AS thr_e4
+  FROM j GROUP BY source)
+SELECT j.doc_id, j.source, j.score, thr.thr_e4,
+       (j.score * 10000 >= thr.thr_e4) AS keep
+FROM j JOIN thr ON j.source = thr.source
+"""
+
+
 def q_sample_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-½ source mixing (the Pile/LLaMA sampling-weights table):
     w(s)=floor(sqrt(n_docs(s))), weight_e6 and a 1000-doc quota by
@@ -2549,6 +2602,7 @@ ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "sample_source_mix": (q_sample_source_mix, SQL_SAMPLE_SOURCE_MIX),
     "split_holdout": (q_split_holdout, SQL_SPLIT_HOLDOUT),
     "text_quality_model": (q_text_quality_model, SQL_TEXT_QUALITY_MODEL),
+    "quality_calibrated": (q_quality_calibrated, SQL_QUALITY_CALIBRATED),
     "text_pii_scrub": (q_text_pii_scrub, SQL_TEXT_PII_SCRUB),
     "pack_token_shards": (q_pack_token_shards, SQL_PACK_TOKEN_SHARDS),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),

@@ -90,3 +90,21 @@ def test_source_mix_quota_never_oversubscribes(spark):
     tot_docs = sum(r.n_docs for r in rows)
     big = max(rows, key=lambda r: r.n_docs)
     assert big.weight_e6 / 1_000_000 <= big.n_docs / tot_docs + 0.01
+
+
+def test_calibrated_gate_thresholds_per_group(spark):
+    """Per-group calibration: each source keeps its own top ~30% even when
+    one source's WORST score beats another's best — the CCNet property a
+    global threshold cannot give."""
+    from crawler_spark.operators.assembly import calibrated_quality_gate
+
+    rows = [(i, "a", i) for i in range(1, 11)] + [
+        (100 + i, "b", 100 + i) for i in range(1, 11)
+    ]
+    scored = spark.createDataFrame(rows, "doc_id long, source string, score long")
+    out = {r.doc_id: r for r in calibrated_quality_gate(scored, pct=0.7).collect()}
+    # p70 of 1..10 interpolates to 7.3 -> keep 8, 9, 10 (same shifted for b)
+    assert {d for d, r in out.items() if r.keep and r.source == "a"} == {8, 9, 10}
+    assert {d for d, r in out.items() if r.keep and r.source == "b"} == {108, 109, 110}
+    # b's dropped scores all exceed a's kept ones - only per-group works
+    assert min(d for d, r in out.items() if r.source == "b") > 10
