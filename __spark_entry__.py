@@ -72,8 +72,10 @@ DEFER_TO_TAIL = [
     "mm_image_metadata",
     "mm_decode_features",
     "dedup_simhash",
-    # twenty-fifth: registry grew to 75 (quality_calibrated enters)
+    # twenty-fifth..twenty-sixth: registry grew to 76 (quality_calibrated,
+    # chunk_documents enter)
     "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
 ]
 
 

@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     # trained-index ANN (ivf/pq/residual) stays out of the slice on purpose:
     # its wall is the eager k-means/PQ training loop (index BUILD, a one-off
     # at production scale), not the serve path this slice tracks
+    "dedup_semantic",
+    "quality_calibrated",
     "text_quality",
     "text_fingerprint",
     "mm_decode_features",

@@ -169,3 +169,49 @@ def calibrated_quality_gate(
     return scored.join(F.broadcast(thr), by).withColumn(
         "keep", F.col("score") * 10000 >= F.col("thr_e4")
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Context-length chunking: split each document into fixed windows of
+    ``chunk_tokens`` whitespace tokens advancing by ``stride`` (overlap =
+    chunk − stride keeps boundary context, the standard pretraining move).
+
+    n_chunks = 1 + ⌈(n − chunk)/stride⌉ via INTEGER div, so the count is
+    exact in any engine; the window index explodes from ``sequence`` —
+    pure map-side array ops, no shuffle, no UDF, output rows ∝ tokens.
+    Emits md5 of each chunk's text (narrow, hashable) rather than the text
+    itself; a materializing pipeline swaps the md5 for the joined slice.
+    """
+    if stride <= 0 or chunk_tokens < stride:
+        raise ValueError("need 0 < stride <= chunk_tokens")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    d = docs.select(F.col(id_col), toks.alias("__toks")).withColumn(
+        "__n", F.size("__toks")
+    )
+    n_chunks = F.when(F.col("__n") <= chunk_tokens, F.lit(1)).otherwise(
+        F.expr(
+            f"CAST(1 + ((__n - {chunk_tokens}) + {stride - 1}) div {stride}"
+            " AS INT)"
+        )
+    )
+    e = d.withColumn(
+        "chunk_idx",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)),
+    )
+    start = F.col("chunk_idx") * stride
+    n_here = F.least(F.lit(chunk_tokens), F.col("__n") - start)
+    return e.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        start.cast("long").alias("start_tok"),
+        n_here.cast("long").alias("n_chunk_tokens"),
+        F.md5(
+            F.array_join(F.slice(F.col("__toks"), start + 1, n_here), " ")
+        ).alias("chunk_md5"),
+    )

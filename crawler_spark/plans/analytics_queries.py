@@ -2469,6 +2469,43 @@ FROM scored
 """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length chunking: 32-token windows advancing by 24 (8-token
+    overlap) per document — integer-exact window count, map-side
+    sequence+explode, md5 of each chunk's text as the narrow payload."""
+    from crawler_spark.operators.assembly import chunk_documents
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return chunk_documents(d, chunk_tokens=32, stride=24)
+
+
+SQL_CHUNK_DOCUMENTS = """
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents),
+n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+c AS (
+  SELECT doc_id, toks, n,
+         CASE WHEN n <= 32 THEN 1
+              ELSE 1 + ((n - 32) + 23) // 24 END AS n_chunks
+  FROM n),
+e AS (
+  SELECT doc_id, toks, n,
+         unnest(generate_series(0, CAST(n_chunks - 1 AS BIGINT))) AS chunk_idx
+  FROM c)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(chunk_idx * 24 AS BIGINT) AS start_tok,
+       CAST(least(32, n - chunk_idx * 24) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(
+         toks[chunk_idx * 24 + 1 : chunk_idx * 24 + least(32, n - chunk_idx * 24)],
+         ' ')) AS chunk_md5
+FROM e
+"""
+
+
 def q_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source calibrated quality gate (CCNet-style): the hashed-model
     score is thresholded at each SOURCE's own 70th percentile instead of a
@@ -2603,6 +2640,7 @@ ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "split_holdout": (q_split_holdout, SQL_SPLIT_HOLDOUT),
     "text_quality_model": (q_text_quality_model, SQL_TEXT_QUALITY_MODEL),
     "quality_calibrated": (q_quality_calibrated, SQL_QUALITY_CALIBRATED),
+    "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "text_pii_scrub": (q_text_pii_scrub, SQL_TEXT_PII_SCRUB),
     "pack_token_shards": (q_pack_token_shards, SQL_PACK_TOKEN_SHARDS),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),

@@ -108,3 +108,29 @@ def test_calibrated_gate_thresholds_per_group(spark):
     assert {d for d, r in out.items() if r.keep and r.source == "b"} == {108, 109, 110}
     # b's dropped scores all exceed a's kept ones - only per-group works
     assert min(d for d, r in out.items() if r.source == "b") > 10
+
+
+def test_chunk_documents_tiles_with_overlap(spark):
+    """Chunks advance by stride, overlap by chunk-stride, clip at the end,
+    always reach the last token, and hash the exact token slice."""
+    import hashlib
+
+    from crawler_spark.operators.assembly import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(50))  # 50 tokens
+    docs = spark.createDataFrame(
+        [(1, text), (2, "a b c")], "doc_id long, text string"
+    )
+    rows = sorted(
+        chunk_documents(docs, chunk_tokens=32, stride=24).collect(),
+        key=lambda r: (r.doc_id, r.chunk_idx),
+    )
+    one = [r for r in rows if r.doc_id == 1]
+    # 50 tokens -> chunks at 0 (32 toks) and 24 (26 toks)
+    assert [(r.start_tok, r.n_chunk_tokens) for r in one] == [(0, 32), (24, 26)]
+    assert one[-1].start_tok + one[-1].n_chunk_tokens == 50
+    toks = text.split()
+    want = hashlib.md5(" ".join(toks[24:50]).encode()).hexdigest()
+    assert one[1].chunk_md5 == want
+    short = [r for r in rows if r.doc_id == 2]
+    assert [(r.start_tok, r.n_chunk_tokens) for r in short] == [(0, 3)]
