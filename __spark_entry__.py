@@ -72,10 +72,11 @@ DEFER_TO_TAIL = [
     "mm_image_metadata",
     "mm_decode_features",
     "dedup_simhash",
-    # twenty-fifth..twenty-sixth: registry grew to 76 (quality_calibrated,
-    # chunk_documents enter)
+    # twenty-fifth..twenty-seventh: registry grew to 77 (quality_calibrated,
+    # chunk_documents, filter_funnel enter)
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
 ]
 
 

@@ -1148,6 +1148,98 @@ FROM feat
 SQL_TEXT_QUALITY = _quality_sql()
 
 
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-funnel observability: survivors after each pipeline stage
+    (length → word-length → stopword → punctuation gates → exact dedup) as
+    one row per stage.  At 100 TB this is the report a curation run ships
+    with — WHICH gate ate the corpus, not just the end count.  One pass:
+    gate indicators are map-side exprs, the dedup stage is the same
+    md5-groupBy shuffle dedup_exact runs, and the rollup is a single
+    6-value aggregate unpivoted with ``stack``."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text",
+        *TS.quality_features("text"),
+    )
+    d = d.withColumn(
+        "canon",
+        F.col("doc_id")
+        == F.min("doc_id").over(Window.partitionBy(F.md5("text"))),
+    )
+    s1 = (F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 1000)
+    s2 = s1 & (F.col("mean_word_len") >= 2.0) & (F.col("mean_word_len") <= 12.0)
+    s3 = s2 & (F.col("stopword_ratio") > 0)
+    s4 = s3 & (F.col("punct_ratio") < 0.3)
+    s5 = s4 & F.col("canon")
+    stages = [s1, s2, s3, s4, s5]
+    agg = d.select(
+        *[s.cast("long").alias(f"__s{i}") for i, s in enumerate(stages, 1)]
+    ).agg(
+        F.count("*").alias("c0"),
+        *[F.sum(f"__s{i}").alias(f"c{i}") for i in range(1, 6)],
+    )
+    return agg.selectExpr(
+        """stack(6,
+           0, 'total',       c0,
+           1, 'length',      c1,
+           2, 'word_len',    c2,
+           3, 'stopwords',   c3,
+           4, 'punctuation', c4,
+           5, 'exact_dedup', c5) AS (stage_idx, stage, n_docs)"""
+    ).select(
+        F.col("stage_idx").cast("int").alias("stage_idx"),
+        "stage",
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
+
+
+def _filter_funnel_sql() -> str:
+    stop_pat = r"\b(" + "|".join(TS.STOPWORDS) + r")\b"
+    return f"""
+WITH feat AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS t_md5,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         round((CAST(length(text) AS DOUBLE) - len(regexp_split_to_array(trim(text), '\\s+')) + 1)
+               / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS mean_word_len,
+         round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+               / length(text), 4) AS punct_ratio,
+         round(CAST(len(regexp_extract_all(text, '{stop_pat}')) AS DOUBLE)
+               / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS stopword_ratio
+  FROM documents),
+g AS (
+  SELECT *,
+         (doc_id = min(doc_id) OVER (PARTITION BY t_md5)) AS canon,
+         (n_tokens BETWEEN 10 AND 1000) AS s1
+  FROM feat),
+g2 AS (
+  SELECT *,
+         (s1 AND mean_word_len BETWEEN 2.0 AND 12.0) AS s2
+  FROM g),
+g3 AS (SELECT *, (s2 AND stopword_ratio > 0) AS s3 FROM g2),
+g4 AS (SELECT *, (s3 AND punct_ratio < 0.3) AS s4 FROM g3),
+g5 AS (SELECT *, (s4 AND canon) AS s5 FROM g4),
+c AS (
+  SELECT CAST(count(*) AS BIGINT) AS c0,
+         CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+         CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+         CAST(sum(CASE WHEN s5 THEN 1 ELSE 0 END) AS BIGINT) AS c5
+  FROM g5)
+SELECT CAST(0 AS INTEGER) AS stage_idx, 'total' AS stage, c0 AS n_docs FROM c
+UNION ALL SELECT 1, 'length', c1 FROM c
+UNION ALL SELECT 2, 'word_len', c2 FROM c
+UNION ALL SELECT 3, 'stopwords', c3 FROM c
+UNION ALL SELECT 4, 'punctuation', c4 FROM c
+UNION ALL SELECT 5, 'exact_dedup', c5 FROM c
+"""
+
+
+SQL_FILTER_FUNNEL = _filter_funnel_sql()
+
+
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.col("text")
     d = _t(spark, sf_dir, "documents")
@@ -2641,6 +2733,7 @@ ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "text_quality_model": (q_text_quality_model, SQL_TEXT_QUALITY_MODEL),
     "quality_calibrated": (q_quality_calibrated, SQL_QUALITY_CALIBRATED),
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
+    "filter_funnel": (q_filter_funnel, SQL_FILTER_FUNNEL),
     "text_pii_scrub": (q_text_pii_scrub, SQL_TEXT_PII_SCRUB),
     "pack_token_shards": (q_pack_token_shards, SQL_PACK_TOKEN_SHARDS),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),

@@ -1269,3 +1269,16 @@ def test_pack_image_shards_budget_and_order(spark):
     # c starts at 1800 -> shard 1 (alone, oversized); d at 7800 -> shard 7
     assert png == [("a", 0), ("b", 0), ("c", 1), ("d", 7)]
     assert [r.shard_idx for r in rows if r.fmt == "jpeg"] == [0]
+
+
+def test_filter_funnel_is_monotone(spark):
+    """Funnel invariant: stage survivor counts are non-increasing in stage
+    order and stage 0 equals the corpus size."""
+    from crawler_spark.plans.analytics_queries import q_filter_funnel
+
+    rows = sorted(q_filter_funnel(spark, SF).collect(), key=lambda r: r.stage_idx)
+    assert rows[0].stage == "total"
+    assert rows[0].n_docs == _docs(spark).count()
+    counts = [r.n_docs for r in rows]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    assert len(rows) == 6
