@@ -72,11 +72,12 @@ DEFER_TO_TAIL = [
     "mm_image_metadata",
     "mm_decode_features",
     "dedup_simhash",
-    # twenty-fifth..twenty-seventh: registry grew to 77 (quality_calibrated,
-    # chunk_documents, filter_funnel enter)
+    # twenty-fifth..twenty-eighth: registry grew to 78 (quality_calibrated,
+    # chunk_documents, filter_funnel, image_filter_funnel enter)
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
+    "ann_lsh_bucketed",
 ]
 
 

@@ -2287,6 +2287,105 @@ FROM ranked GROUP BY cluster_id
 """
 
 
+def q_image_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-corpus curation funnel (the image analog of filter_funnel):
+    survivors after each LAION-style stage — min-dimension ≥ 64, aspect
+    sanity max(w,h) ≤ 3·min(w,h), caption 3..40 tokens, phash-exact dedup
+    (min image_id canonical) — over the input_hint-shaped table with the
+    planted duplicate rows.  One pass: map-side gate indicators, the same
+    phash window shuffle the dedup runs, one 5-value aggregate unpivoted
+    with ``stack``."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.concat(F.lit("img-"), F.col("doc_id").cast("string")).alias(
+            "image_id"
+        ),
+        (F.expr("instr('0123456789abcdef', substring(md5(text), 1, 1))") * 16
+         + 16).cast("int").alias("w"),
+        (F.expr("instr('0123456789abcdef', substring(md5(text), 2, 1))") * 16
+         + 16).cast("int").alias("h"),
+        F.substring("text", 1, 120).alias("caption"),
+        F.expr(_phash_nib_sum("spark")).alias("phash"),
+    )
+    dups = base.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "image_id", F.concat("image_id", F.lit("-v"))
+    )
+    imgs = base.unionByName(dups)
+    imgs = imgs.withColumn(
+        "canon",
+        F.col("image_id")
+        == F.min("image_id").over(Window.partitionBy("phash")),
+    )
+    n_cap = F.size(F.split(F.trim("caption"), r"\s+"))
+    s1 = F.least("w", "h") >= 64
+    s2 = s1 & (
+        F.greatest("w", "h") <= 3 * F.least("w", "h")
+    )
+    s3 = s2 & (n_cap >= 3) & (n_cap <= 40)
+    s4 = s3 & F.col("canon")
+    agg = imgs.select(
+        *[s.cast("long").alias(f"__s{i}") for i, s in enumerate([s1, s2, s3, s4], 1)]
+    ).agg(
+        F.count("*").alias("c0"),
+        *[F.sum(f"__s{i}").alias(f"c{i}") for i in range(1, 5)],
+    )
+    return agg.selectExpr(
+        """stack(5,
+           0, 'total',       c0,
+           1, 'min_dim',     c1,
+           2, 'aspect',      c2,
+           3, 'caption',     c3,
+           4, 'phash_dedup', c4) AS (stage_idx, stage, n_images)"""
+    ).select(
+        F.col("stage_idx").cast("int").alias("stage_idx"),
+        "stage",
+        F.col("n_images").cast("long").alias("n_images"),
+    )
+
+
+def _image_filter_funnel_sql() -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, 'img-' || CAST(doc_id AS VARCHAR) AS image_id,
+         CAST((strpos('0123456789abcdef', substr(md5(text), 1, 1))) * 16 + 16 AS INTEGER) AS w,
+         CAST((strpos('0123456789abcdef', substr(md5(text), 2, 1))) * 16 + 16 AS INTEGER) AS h,
+         substr(text, 1, 120) AS caption,
+         {_phash_nib_sum("duckdb")} AS phash
+  FROM documents),
+imgs AS (
+  SELECT image_id, w, h, caption, phash FROM base
+  UNION ALL
+  SELECT image_id || '-v', w, h, caption, phash FROM base WHERE doc_id % 7 = 0),
+k AS (
+  SELECT *,
+         (image_id = min(image_id) OVER (PARTITION BY phash)) AS canon,
+         len(regexp_split_to_array(trim(caption), '\\s+')) AS n_cap,
+         (least(w, h) >= 64) AS s1
+  FROM imgs),
+k2 AS (SELECT *, (s1 AND greatest(w, h) <= 3 * least(w, h)) AS s2 FROM k),
+k3 AS (SELECT *, (s2 AND n_cap BETWEEN 3 AND 40) AS s3 FROM k2),
+k4 AS (SELECT *, (s3 AND canon) AS s4 FROM k3),
+c AS (
+  SELECT CAST(count(*) AS BIGINT) AS c0,
+         CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+         CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS c4
+  FROM k4)
+SELECT CAST(0 AS INTEGER) AS stage_idx, 'total' AS stage, c0 AS n_images FROM c
+UNION ALL SELECT 1, 'min_dim', c1 FROM c
+UNION ALL SELECT 2, 'aspect', c2 FROM c
+UNION ALL SELECT 3, 'caption', c3 FROM c
+UNION ALL SELECT 4, 'phash_dedup', c4 FROM c
+"""
+
+
+SQL_IMAGE_FILTER_FUNNEL = _image_filter_funnel_sql()
+
+
 def q_image_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship IMAGE-corpus curation (the north_star's image+caption
     training-data pass, composed like q_corpus_curation): build the
@@ -2734,6 +2833,7 @@ ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "quality_calibrated": (q_quality_calibrated, SQL_QUALITY_CALIBRATED),
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "filter_funnel": (q_filter_funnel, SQL_FILTER_FUNNEL),
+    "image_filter_funnel": (q_image_filter_funnel, SQL_IMAGE_FILTER_FUNNEL),
     "text_pii_scrub": (q_text_pii_scrub, SQL_TEXT_PII_SCRUB),
     "pack_token_shards": (q_pack_token_shards, SQL_PACK_TOKEN_SHARDS),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),

