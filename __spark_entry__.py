@@ -78,6 +78,8 @@ DEFER_TO_TAIL = [
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "ann_lsh_bucketed",
+    # twenty-ninth: registry grew to 79 (dedup_substring enters)
+    "ann_bruteforce_topk",
 ]
 
 

@@ -799,3 +799,70 @@ def embedding_near_pairs(
         )
         .filter(F.col("cosine") >= min_cosine)
     )
+
+
+def duplicated_ngram_flags(
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring duplication flags at n-gram granularity (the
+    ExactSubstr criterion of Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better", discretized to token n-grams): a
+    document is flagged when ANY of its n-token windows also appears in
+    another document.
+
+    Shape: windows hash to 60-bit longs map-side (codegen'd md5 over the
+    joined slice), per-doc DISTINCT windows bound the index to unique
+    (doc, gram) pairs, the document-frequency count is one hash aggregate
+    with map-side partials, and only (gram, df) longs flow through the
+    probe join — the inverted-index shape every corpus-scale substring
+    dedup builds.  Suffix-array spans collapse to this at fixed n; full
+    variable-length spans are a merge of adjacent flagged windows.
+
+    Returns one row per input document: (id, n_grams, n_dup_grams,
+    flagged) — n_grams counts the doc's DISTINCT windows; docs shorter
+    than ``n`` tokens have zero windows and are never flagged.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    t = docs.select(F.col(id_col), toks.alias("__toks"))
+    # sequence(a, b) steps DOWNWARD when a > b, so short docs must be
+    # filtered out before building the window range, not clamped inside it
+    grams = (
+        t.filter(F.size("__toks") >= n)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(__toks) - {n - 1}), i -> "
+                    f"CAST(conv(substring(md5(array_join("
+                    f"slice(__toks, i, {n}), ' ')), 1, 15), 16, 10) AS BIGINT))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    df_counts = grams.groupBy("gram").agg(F.count("*").alias("__df"))
+    per_doc = (
+        grams.join(df_counts, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum((F.col("__df") >= 2).cast("long")).cast("long").alias(
+                "n_dup_grams"
+            ),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias(
+                "n_dup_grams"
+            ),
+            (F.coalesce("n_dup_grams", F.lit(0)) > 0).alias("flagged"),
+        )
+    )

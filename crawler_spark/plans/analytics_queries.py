@@ -1148,6 +1148,44 @@ FROM feat
 SQL_TEXT_QUALITY = _quality_sql()
 
 
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication flags at 8-gram granularity (Lee et al.
+    2022 ExactSubstr, discretized): a doc is flagged when any 8-token
+    window of it appears in another document.  Inverted-index shape: 60-bit
+    window hashes, distinct (doc, gram), one df hash-aggregate, narrow
+    probe join."""
+    from crawler_spark.operators.dedup import duplicated_ngram_flags
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return duplicated_ngram_flags(d, n=8)
+
+
+SQL_DEDUP_SUBSTRING = """
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents),
+g AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(array_to_string(toks[i : i + 7], ' ')), 1, 15))::BIGINT AS gram
+  FROM t, LATERAL unnest(generate_series(1, len(toks) - 7)) s(i)
+  WHERE len(toks) >= 8),
+dfc AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+per AS (
+  SELECT g.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN dfc.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams
+  FROM g JOIN dfc USING (gram) GROUP BY g.doc_id)
+SELECT t.doc_id,
+       COALESCE(per.n_grams, 0) AS n_grams,
+       COALESCE(per.n_dup_grams, 0) AS n_dup_grams,
+       (COALESCE(per.n_dup_grams, 0) > 0) AS flagged
+FROM t LEFT JOIN per ON t.doc_id = per.doc_id
+"""
+
+
 def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation-funnel observability: survivors after each pipeline stage
     (length → word-length → stopword → punctuation gates → exact dedup) as
@@ -2825,6 +2863,7 @@ ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "sample_host_cap": (q_sample_host_cap, SQL_SAMPLE_HOST_CAP),
     "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
+    "dedup_substring": (q_dedup_substring, SQL_DEDUP_SUBSTRING),
     "image_aspect_buckets": (q_image_aspect_buckets, SQL_IMAGE_ASPECT_BUCKETS),
     "pack_image_shards": (q_pack_image_shards, SQL_PACK_IMAGE_SHARDS),
     "sample_source_mix": (q_sample_source_mix, SQL_SAMPLE_SOURCE_MIX),

@@ -1300,3 +1300,30 @@ def test_image_filter_funnel_monotone_and_dedups_planted(spark):
     caption_stage = next(r for r in rows if r.stage == "caption")
     dedup_stage = next(r for r in rows if r.stage == "phash_dedup")
     assert caption_stage.n_images - dedup_stage.n_images >= 0
+
+
+def test_duplicated_ngram_flags_exact_substr(spark):
+    """ExactSubstr semantics: docs sharing ANY 8-token window flag, docs
+    without one don't, and sub-8-token docs have zero windows."""
+    from crawler_spark.operators.dedup import duplicated_ngram_flags
+
+    span = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"prefix a b {span} suffix c"),
+            (2, f"other opening words {span} and a different tail"),
+            (3, "no shared window here at all nine ten eleven twelve"),
+            (4, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in duplicated_ngram_flags(docs, n=8).collect()}
+    assert out[1].flagged and out[2].flagged
+    assert not out[3].flagged
+    assert out[4].n_grams == 0 and not out[4].flagged
+    # the planted exact copies in the test corpus flag too
+    corpus = _corpus(spark).select("doc_id", "text")
+    flags = {r.doc_id: r.flagged for r in duplicated_ngram_flags(corpus).collect()}
+    planted = [d for d in flags if d >= 2000000]
+    assert planted and all(flags[d] for d in planted)
+    assert all(flags[d - 2000000] for d in planted)
