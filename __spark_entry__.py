@@ -78,8 +78,10 @@ DEFER_TO_TAIL = [
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "ann_lsh_bucketed",
-    # twenty-ninth: registry grew to 79 (dedup_substring enters)
+    # twenty-ninth..thirtieth: registry grew to 80 (dedup_substring,
+    # corpus_card enter)
     "ann_bruteforce_topk",
+    "ann_ivf_topk",
 ]
 
 

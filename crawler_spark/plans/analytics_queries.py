@@ -1148,6 +1148,83 @@ FROM feat
 SQL_TEXT_QUALITY = _quality_sql()
 
 
+def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-datasheet rollup (the "corpus card" a released training set
+    ships with): corpus-level metrics as (metric, value BIGINT) rows —
+    doc/source/token counts, exact-duplicate count, and the holdout split
+    sizes.  Each term is an already-oracle-verified aggregate; the card
+    fuses them into one plan (three independent partial-agg branches, each
+    output a single row, cross-joined driver-side — nothing wide ever
+    moves)."""
+    from crawler_spark.operators.assembly import assign_split
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source", "text"
+    )
+    base = d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(
+            F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+        ).alias("total_tokens"),
+    )
+    dup = (
+        d.groupBy(F.md5("text").alias("__h"))
+        .agg(F.count("*").alias("__c"))
+        .agg(F.sum(F.col("__c") - 1).alias("n_exact_dups"))
+    )
+    splits = (
+        assign_split(d.select("doc_id"), "doc_id")
+        .groupBy()
+        .pivot("split", ["train", "valid", "test"])
+        .count()
+        .select(
+            F.coalesce("train", F.lit(0)).alias("n_train"),
+            F.coalesce("valid", F.lit(0)).alias("n_valid"),
+            F.coalesce("test", F.lit(0)).alias("n_test"),
+        )
+    )
+    card = base.crossJoin(dup).crossJoin(splits)
+    return card.selectExpr(
+        """stack(7,
+           'n_docs',       CAST(n_docs AS BIGINT),
+           'n_sources',    CAST(n_sources AS BIGINT),
+           'total_tokens', CAST(total_tokens AS BIGINT),
+           'n_exact_dups', CAST(n_exact_dups AS BIGINT),
+           'n_train',      CAST(n_train AS BIGINT),
+           'n_valid',      CAST(n_valid AS BIGINT),
+           'n_test',       CAST(n_test AS BIGINT)) AS (metric, value)"""
+    )
+
+
+SQL_CORPUS_CARD = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source, text FROM documents),
+base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+           AS total_tokens
+  FROM d),
+dup AS (
+  SELECT CAST(sum(c - 1) AS BIGINT) AS n_exact_dups
+  FROM (SELECT count(*) AS c FROM d GROUP BY md5(text))),
+sp AS (
+  SELECT CAST(sum(CASE WHEN b >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         CAST(sum(CASE WHEN b >= 5 AND b < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+         CAST(sum(CASE WHEN b < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+  FROM (SELECT CAST(('0x' || substr(md5('split1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 100 AS INTEGER) AS b FROM d))
+SELECT 'n_docs' AS metric, n_docs AS value FROM base
+UNION ALL SELECT 'n_sources', n_sources FROM base
+UNION ALL SELECT 'total_tokens', total_tokens FROM base
+UNION ALL SELECT 'n_exact_dups', n_exact_dups FROM dup
+UNION ALL SELECT 'n_train', n_train FROM sp
+UNION ALL SELECT 'n_valid', n_valid FROM sp
+UNION ALL SELECT 'n_test', n_test FROM sp
+"""
+
+
 def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication flags at 8-gram granularity (Lee et al.
     2022 ExactSubstr, discretized): a doc is flagged when any 8-token
@@ -2873,6 +2950,7 @@ ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "filter_funnel": (q_filter_funnel, SQL_FILTER_FUNNEL),
     "image_filter_funnel": (q_image_filter_funnel, SQL_IMAGE_FILTER_FUNNEL),
+    "corpus_card": (q_corpus_card, SQL_CORPUS_CARD),
     "text_pii_scrub": (q_text_pii_scrub, SQL_TEXT_PII_SCRUB),
     "pack_token_shards": (q_pack_token_shards, SQL_PACK_TOKEN_SHARDS),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
