@@ -78,10 +78,11 @@ DEFER_TO_TAIL = [
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "ann_lsh_bucketed",
-    # twenty-ninth..thirtieth: registry grew to 80 (dedup_substring,
-    # corpus_card enter)
+    # twenty-ninth..thirty-first: registry grew to 81 (dedup_substring,
+    # corpus_card, ann_sq8 enter)
     "ann_bruteforce_topk",
     "ann_ivf_topk",
+    "ann_ivf_nprobe",
 ]
 
 

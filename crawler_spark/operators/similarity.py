@@ -961,3 +961,88 @@ def semantic_dedup(
             F.coalesce(~F.col("__dropped"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def sq8_train(emb: DataFrame) -> tuple[list[float], list[float]]:
+    """Scalar-quantizer training (FAISS ``SQ8``): per-dimension (min, span)
+    over the corpus.  min/max SELECT existing input values (no arithmetic),
+    so the trained bounds are bit-identical in any engine; span = mx − mn
+    is one IEEE subtraction of those.  One aggregate with map-side partials
+    (2·D doubles collected — the same deliberate small-collect a broadcast
+    does; eager, like ivf_assign's centroid collect)."""
+    dims = emb.select(F.size("embedding").alias("d")).first()["d"]
+    aggs = []
+    for i in range(dims):
+        aggs.append(F.min(F.expr(f"embedding[{i}]")).alias(f"mn{i}"))
+        aggs.append(F.max(F.expr(f"embedding[{i}]")).alias(f"mx{i}"))
+    row = emb.agg(*aggs).first()
+    mns = [float(row[f"mn{i}"]) for i in range(dims)]
+    spans = [float(row[f"mx{i}"]) - float(row[f"mn{i}"]) for i in range(dims)]
+    return mns, spans
+
+
+def sq8_encode(
+    emb: DataFrame, mns: list[float], spans: list[float]
+) -> DataFrame:
+    """Encode each vector to D uint8 codes: round(((x − mn) · 255) / span),
+    zero-span dims → 0.  Map-side transform over inlined bound literals —
+    4 bytes/dim shrinks to 1, no shuffle, the stored index is
+    (vec_id, codes)."""
+    mns_l = _array_lit(mns)
+    spans_l = _array_lit(spans)
+    code = (
+        "transform(embedding, (x, i) -> CASE"
+        f" WHEN element_at({spans_l}, i + 1) = CAST(0.0 AS DOUBLE)"
+        " THEN 0"
+        f" ELSE CAST(round(((CAST(x AS DOUBLE) - element_at({mns_l}, i + 1))"
+        f" * CAST(255.0 AS DOUBLE)) / element_at({spans_l}, i + 1), 0) AS INT)"
+        " END)"
+    )
+    return emb.select("vec_id", F.expr(code).alias("codes"))
+
+
+def sq8_adc_topk(
+    emb: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """SQ8 asymmetric top-k: reconstruct x̂ᵢ = mnᵢ + (codeᵢ·spanᵢ)/255
+    map-side from the stored codes and rank by L2²(x̂, query) with the
+    fixed ((x·x − 2·x·y) + y·y) association, scaled-integer e6.
+
+    Completes the quantization family next to PQ/IVF-PQ: SQ keeps
+    per-dimension resolution (D bytes/vector) where PQ trades it for
+    sub-space codebooks (m bytes); the serve plan is the same shape —
+    broadcast queries against the code table, only (query_id, vec_id,
+    adc_e6) reaches the ranking exchange.
+    """
+    mns, spans = sq8_train(emb)
+    codes = sq8_encode(emb, mns, spans)
+    mns_l, spans_l = _array_lit(mns), _array_lit(spans)
+    recon = (
+        f"transform(codes, (c, i) -> element_at({mns_l}, i + 1)"
+        f" + (CAST(c AS DOUBLE) * element_at({spans_l}, i + 1))"
+        " / CAST(255.0 AS DOUBLE))"
+    )
+    cand = (
+        codes.withColumn("__r", F.expr(recon))
+        .crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    d2 = _l2_sql(
+        _dot("__r", "__r"), _dot("__r", "q_embedding"),
+        _dot("q_embedding", "q_embedding"),
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        F.expr(
+            f"CAST(round({d2} * CAST(1000000.0 AS DOUBLE), 0) AS BIGINT)"
+        ).alias("adc_e6"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_e6").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc_e6", "rank")
+    )

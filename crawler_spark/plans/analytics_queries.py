@@ -744,6 +744,61 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized ANN (FAISS SQ8): per-dim min/span trained over the
+    corpus, 1-byte codes, asymmetric L2 on map-side reconstructions —
+    completes the quantization family next to PQ/IVF-PQ (per-dimension
+    resolution at D bytes/vector vs PQ's m).  Training is selection-only
+    (min/max), so both engines hold bit-identical bounds."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+    )
+    out = SIM.sq8_adc_topk(emb, _queries_df(spark, sf_dir), k=5)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("adc_e6").cast("long").alias("adc_e6"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+SQL_ANN_SQ8 = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+x AS (
+  SELECT vec_id, unnest(v) AS val,
+         unnest(generate_series(1, len(v))) AS pos
+  FROM e),
+st AS (SELECT pos, min(val) AS mn, max(val) - min(val) AS span
+       FROM x GROUP BY pos),
+recon AS (
+  SELECT vec_id,
+         list(CASE WHEN span = 0.0 THEN mn
+                   ELSE mn + (CAST(CAST(round(((val - mn) * 255.0) / span)
+                                   AS INTEGER) AS DOUBLE) * span) / 255.0
+              END ORDER BY pos) AS r
+  FROM x JOIN st USING (pos) GROUP BY vec_id),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+cand AS (
+  SELECT q.query_id, c.vec_id,
+         CAST(round(((list_dot_product(c.r, c.r)
+                      - 2.0 * list_dot_product(c.r, q.qv))
+                     + list_dot_product(q.qv, q.qv)) * 1000000.0) AS BIGINT)
+           AS adc_e6
+  FROM recon c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, vec_id, adc_e6,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_e6 ASC, vec_id ASC) AS rank
+  FROM cand)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+       adc_e6, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 _PQ_M, _PQ_D, _PQ_KSUB, _PQ_ITERS, _PQ_TOPK = 2, 32, 4, 1, 5
 
 
@@ -2941,6 +2996,7 @@ ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "sample_host_cap": (q_sample_host_cap, SQL_SAMPLE_HOST_CAP),
     "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
     "dedup_substring": (q_dedup_substring, SQL_DEDUP_SUBSTRING),
+    "ann_sq8": (q_ann_sq8, SQL_ANN_SQ8),
     "image_aspect_buckets": (q_image_aspect_buckets, SQL_IMAGE_ASPECT_BUCKETS),
     "pack_image_shards": (q_pack_image_shards, SQL_PACK_IMAGE_SHARDS),
     "sample_source_mix": (q_sample_source_mix, SQL_SAMPLE_SOURCE_MIX),

@@ -1327,3 +1327,35 @@ def test_duplicated_ngram_flags_exact_substr(spark):
     planted = [d for d in flags if d >= 2000000]
     assert planted and all(flags[d] for d in planted)
     assert all(flags[d - 2000000] for d in planted)
+
+
+def test_sq8_quantization_error_and_topk(spark):
+    """SQ8 invariants: codes lie in [0,255]; per-dim reconstruction error is
+    within half a quantization step; top-1 recovers a well-separated
+    nearest neighbour exactly."""
+    from crawler_spark.operators.similarity import (
+        sq8_adc_topk,
+        sq8_encode,
+        sq8_train,
+    )
+
+    vecs = [
+        (1, [0.0, 0.0]),
+        (2, [1.0, 10.0]),
+        (3, [0.5, 5.0]),
+        (4, [0.9, 9.5]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    mns, spans = sq8_train(emb)
+    assert mns == [0.0, 0.0] and spans == [1.0, 10.0]
+    codes = {r.vec_id: r.codes for r in sq8_encode(emb, mns, spans).collect()}
+    assert all(0 <= c <= 255 for cs in codes.values() for c in cs)
+    for vid, v in vecs:
+        for d, c in enumerate(codes[vid]):
+            recon = mns[d] + c * spans[d] / 255.0
+            assert abs(recon - v[d]) <= spans[d] / 255.0 / 2 + 1e-12
+    q = spark.createDataFrame(
+        [(2, [1.0, 10.0])], "query_id long, q_embedding array<double>"
+    )
+    top = sorted(sq8_adc_topk(emb, q, k=2).collect(), key=lambda r: r.rank)
+    assert top[0].vec_id == 4  # nearest non-self under L2, exactly recovered
