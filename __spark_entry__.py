@@ -78,11 +78,12 @@ DEFER_TO_TAIL = [
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "ann_lsh_bucketed",
-    # twenty-ninth..thirty-first: registry grew to 81 (dedup_substring,
-    # corpus_card, ann_sq8 enter)
+    # twenty-ninth..thirty-second: registry grew to 82 (dedup_substring,
+    # corpus_card, ann_sq8, image_caption_negatives enter)
     "ann_bruteforce_topk",
     "ann_ivf_topk",
     "ann_ivf_nprobe",
+    "tfidf_top_terms",
 ]
 
 

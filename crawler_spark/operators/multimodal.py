@@ -558,3 +558,69 @@ def pack_image_shards(
             "shard_idx"
         ),
     )
+
+
+def caption_negatives(
+    images: DataFrame,
+    k: int = 2,
+    buckets: int = 16,
+    salt: str = "neg1",
+) -> DataFrame:
+    """Deterministic in-shard negative mining for contrastive image-caption
+    training: every image gets ``k`` mismatched captions drawn from OTHER
+    images in its hash shard (the explicit-materialization analog of
+    in-batch negatives — reproducible across reruns, unlike batch order).
+
+    Shuffle-safe shape: shard = md5 bucket of the image_id (uniform by
+    construction), negatives are the next-``k`` neighbours in the shard's
+    seeded hash order via ``lead`` — ONE window shuffle on the bounded
+    shard key, no self-join, no N² pair stage.  The last ``k`` rows of a
+    shard see fewer negatives (no wraparound); with shards ≫ k the loss is
+    negligible and the non-cyclic rule keeps the oracle trivial.
+
+    Returns (image_id, neg_rank 1..k, neg_image_id, neg_caption_md5).
+    """
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col("image_id"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    d = images.select(
+        "image_id", F.md5("caption").alias("__cap_md5"), h.alias("__h")
+    ).withColumn("__shard", (F.col("__h") % buckets).cast("int"))
+    w = Window.partitionBy("__shard").orderBy(
+        F.col("__h").asc(), F.col("image_id").asc()
+    )
+    # window exprs may not sit inside a generator: materialize the lead
+    # columns first, then explode plain structs over them
+    led = d.select(
+        "image_id",
+        *[
+            c
+            for i in range(1, k + 1)
+            for c in (
+                F.lead("image_id", i).over(w).alias(f"__nid{i}"),
+                F.lead("__cap_md5", i).over(w).alias(f"__nmd{i}"),
+            )
+        ],
+    )
+    picks = [
+        F.struct(
+            F.lit(i).alias("neg_rank"),
+            F.col(f"__nid{i}").alias("neg_image_id"),
+            F.col(f"__nmd{i}").alias("neg_caption_md5"),
+        )
+        for i in range(1, k + 1)
+    ]
+    return (
+        led.select("image_id", F.explode(F.array(*picks)).alias("n"))
+        .select(
+            "image_id",
+            F.col("n.neg_rank").cast("int").alias("neg_rank"),
+            F.col("n.neg_image_id").alias("neg_image_id"),
+            F.col("n.neg_caption_md5").alias("neg_caption_md5"),
+        )
+        .filter(F.col("neg_image_id").isNotNull())
+    )

@@ -2556,6 +2556,36 @@ UNION ALL SELECT 4, 'phash_dedup', c4 FROM c
 SQL_IMAGE_FILTER_FUNNEL = _image_filter_funnel_sql()
 
 
+def q_image_caption_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic in-shard negative mining for contrastive image-caption
+    training: k=2 mismatched captions per image from its md5 hash shard via
+    lead() — reproducible across reruns (unlike in-batch order), one window
+    shuffle on the bounded shard key, no N² pair stage."""
+    imgs = MM.synthesize_images(_t(spark, sf_dir, "documents"))
+    return MM.caption_negatives(imgs, k=2, buckets=16)
+
+
+SQL_IMAGE_CAPTION_NEGATIVES = f"""
+WITH imgs AS ({_IMGS_CTE}),
+d AS (
+  SELECT image_id, md5(caption) AS cap_md5,
+         ('0x' || substr(md5('neg1:' || image_id), 1, 15))::BIGINT AS h
+  FROM imgs),
+s AS (SELECT *, CAST(h % 16 AS INTEGER) AS shard FROM d),
+l AS (
+  SELECT image_id,
+         lead(image_id, 1) OVER w AS n1_id, lead(cap_md5, 1) OVER w AS n1_md5,
+         lead(image_id, 2) OVER w AS n2_id, lead(cap_md5, 2) OVER w AS n2_md5
+  FROM s WINDOW w AS (PARTITION BY shard ORDER BY h ASC, image_id ASC))
+SELECT image_id, CAST(1 AS INTEGER) AS neg_rank,
+       n1_id AS neg_image_id, n1_md5 AS neg_caption_md5
+FROM l WHERE n1_id IS NOT NULL
+UNION ALL
+SELECT image_id, CAST(2 AS INTEGER), n2_id, n2_md5
+FROM l WHERE n2_id IS NOT NULL
+"""
+
+
 def q_image_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship IMAGE-corpus curation (the north_star's image+caption
     training-data pass, composed like q_corpus_curation): build the
@@ -2998,6 +3028,10 @@ ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_substring": (q_dedup_substring, SQL_DEDUP_SUBSTRING),
     "ann_sq8": (q_ann_sq8, SQL_ANN_SQ8),
     "image_aspect_buckets": (q_image_aspect_buckets, SQL_IMAGE_ASPECT_BUCKETS),
+    "image_caption_negatives": (
+        q_image_caption_negatives,
+        SQL_IMAGE_CAPTION_NEGATIVES,
+    ),
     "pack_image_shards": (q_pack_image_shards, SQL_PACK_IMAGE_SHARDS),
     "sample_source_mix": (q_sample_source_mix, SQL_SAMPLE_SOURCE_MIX),
     "split_holdout": (q_split_holdout, SQL_SPLIT_HOLDOUT),

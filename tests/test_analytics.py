@@ -1359,3 +1359,30 @@ def test_sq8_quantization_error_and_topk(spark):
     )
     top = sorted(sq8_adc_topk(emb, q, k=2).collect(), key=lambda r: r.rank)
     assert top[0].vec_id == 4  # nearest non-self under L2, exactly recovered
+
+
+def test_caption_negatives_are_mismatched_and_deterministic(spark):
+    """Negative-mining invariants: a negative never pairs an image with its
+    own caption, every image in a big-enough shard gets k negatives, and
+    the assignment is identical across runs."""
+    from crawler_spark.operators.multimodal import (
+        caption_negatives,
+        synthesize_images,
+    )
+
+    imgs = synthesize_images(_docs(spark))
+    a = sorted(map(tuple, caption_negatives(imgs, k=2, buckets=4).collect()))
+    b = sorted(map(tuple, caption_negatives(imgs, k=2, buckets=4).collect()))
+    assert a == b and a
+    own = {r.image_id: r for r in imgs.collect()}
+    import hashlib
+
+    for image_id, neg_rank, neg_image_id, neg_caption_md5 in a:
+        assert neg_image_id != image_id
+        own_md5 = hashlib.md5(own[image_id].caption.encode()).hexdigest()
+        # captions are unique per doc in this corpus, so md5 mismatch holds
+        assert neg_caption_md5 != own_md5
+    per_img = {}
+    for image_id, neg_rank, *_ in a:
+        per_img.setdefault(image_id, []).append(neg_rank)
+    assert max(len(v) for v in per_img.values()) == 2
