@@ -84,6 +84,8 @@ DEFER_TO_TAIL = [
     "ann_ivf_topk",
     "ann_ivf_nprobe",
     "tfidf_top_terms",
+    # thirty-third: registry grew to 83 (ann_ivf_sq8 enters)
+    "sample_stratified",
 ]
 
 

@@ -982,12 +982,16 @@ def sq8_train(emb: DataFrame) -> tuple[list[float], list[float]]:
 
 
 def sq8_encode(
-    emb: DataFrame, mns: list[float], spans: list[float]
+    emb: DataFrame,
+    mns: list[float],
+    spans: list[float],
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode each vector to D uint8 codes: round(((x − mn) · 255) / span),
     zero-span dims → 0.  Map-side transform over inlined bound literals —
     4 bytes/dim shrinks to 1, no shuffle, the stored index is
-    (vec_id, codes)."""
+    (vec_id, *keep, codes); ``keep`` carries extra columns (e.g. the IVF
+    ``cell``) through."""
     mns_l = _array_lit(mns)
     spans_l = _array_lit(spans)
     code = (
@@ -998,7 +1002,7 @@ def sq8_encode(
         f" * CAST(255.0 AS DOUBLE)) / element_at({spans_l}, i + 1), 0) AS INT)"
         " END)"
     )
-    return emb.select("vec_id", F.expr(code).alias("codes"))
+    return emb.select("vec_id", *keep, F.expr(code).alias("codes"))
 
 
 def sq8_adc_topk(
@@ -1025,6 +1029,59 @@ def sq8_adc_topk(
     cand = (
         codes.withColumn("__r", F.expr(recon))
         .crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    d2 = _l2_sql(
+        _dot("__r", "__r"), _dot("__r", "q_embedding"),
+        _dot("q_embedding", "q_embedding"),
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        F.expr(
+            f"CAST(round({d2} * CAST(1000000.0 AS DOUBLE), 0) AS BIGINT)"
+        ).alias("adc_e6"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_e6").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc_e6", "rank")
+    )
+
+
+def ivf_sq8_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF-SQ8 — the other half of the FAISS index matrix next to IVF-PQ:
+    the coarse quantizer prunes WHICH vectors are scanned (``nprobe``
+    cells, partition-prunable on a cell-keyed table), scalar quantization
+    compresses WHAT is scanned (D bytes/vector, per-dimension resolution —
+    vs PQ's m-byte codebook codes).  Stored index = (vec_id, cell, codes),
+    both map-side; candidates reconstruct x̂ inside their scan task and
+    only (query_id, vec_id, adc_e6) reaches the ranking exchange.
+
+    Returns (query_id, vec_id, adc_e6, rank), rank by adc ASC, vec_id ASC.
+    """
+    assigned = ivf_assign(emb, centroids)
+    mns, spans = sq8_train(emb)
+    codes = sq8_encode(assigned, mns, spans, keep=("cell",))
+    probe = ivf_probe_cells(queries, centroids, nprobe, keep=("q_embedding",))
+    mns_l, spans_l = _array_lit(mns), _array_lit(spans)
+    recon = (
+        f"transform(codes, (c, i) -> element_at({mns_l}, i + 1)"
+        f" + (CAST(c AS DOUBLE) * element_at({spans_l}, i + 1))"
+        " / CAST(255.0 AS DOUBLE))"
+    )
+    cand = (
+        codes.withColumn("__r", F.expr(recon))
+        .join(F.broadcast(probe), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
     )
     d2 = _l2_sql(

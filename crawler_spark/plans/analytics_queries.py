@@ -799,6 +799,81 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_ann_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8 (the other half of the FAISS index matrix next to IVF-PQ):
+    coarse cells prune WHICH vectors are scanned, scalar quantization
+    compresses WHAT is scanned — stored index (vec_id, cell, codes), ADC
+    over map-side reconstructions inside the probed cell."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+    )
+    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("c_embedding"),
+    )
+    out = SIM.ivf_sq8_topk(emb, _queries_df(spark, sf_dir), centroids, k=5)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("adc_e6").cast("long").alias("adc_e6"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+SQL_ANN_IVF_SQ8 = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id % 50 = 0),
+cscored AS (
+  SELECT e.vec_id, e.v, cent.cid,
+         CASE WHEN sqrt(list_dot_product(e.v, e.v)) = 0.0
+                OR sqrt(list_dot_product(cent.c, cent.c)) = 0.0
+              THEN CAST(-1.0 AS DOUBLE)
+              ELSE round(list_dot_product(e.v, cent.c) /
+                         (sqrt(list_dot_product(e.v, e.v)) *
+                          sqrt(list_dot_product(cent.c, cent.c))), 6)
+         END AS cc
+  FROM e CROSS JOIN cent),
+assign AS (
+  SELECT vec_id, v, cid AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cc DESC, cid ASC) AS rn
+    FROM cscored) WHERE rn = 1),
+x AS (
+  SELECT vec_id, unnest(v) AS val,
+         unnest(generate_series(1, len(v))) AS pos
+  FROM e),
+st AS (SELECT pos, min(val) AS mn, max(val) - min(val) AS span
+       FROM x GROUP BY pos),
+recon AS (
+  SELECT vec_id,
+         list(CASE WHEN span = 0.0 THEN mn
+                   ELSE mn + (CAST(CAST(round(((val - mn) * 255.0) / span)
+                                   AS INTEGER) AS DOUBLE) * span) / 255.0
+              END ORDER BY pos) AS r
+  FROM x JOIN st USING (pos) GROUP BY vec_id),
+idx AS (SELECT a.vec_id, a.cell, r.r FROM assign a JOIN recon r USING (vec_id)),
+q AS (SELECT vec_id AS query_id, v AS qv, cell FROM assign WHERE vec_id < 8),
+cand AS (
+  SELECT q.query_id, c.vec_id,
+         CAST(round(((list_dot_product(c.r, c.r)
+                      - 2.0 * list_dot_product(c.r, q.qv))
+                     + list_dot_product(q.qv, q.qv)) * 1000000.0) AS BIGINT)
+           AS adc_e6
+  FROM idx c JOIN q ON c.cell = q.cell WHERE c.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, vec_id, adc_e6,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_e6 ASC, vec_id ASC) AS rank
+  FROM cand)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+       adc_e6, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 _PQ_M, _PQ_D, _PQ_KSUB, _PQ_ITERS, _PQ_TOPK = 2, 32, 4, 1, 5
 
 
@@ -3027,6 +3102,7 @@ ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
     "dedup_substring": (q_dedup_substring, SQL_DEDUP_SUBSTRING),
     "ann_sq8": (q_ann_sq8, SQL_ANN_SQ8),
+    "ann_ivf_sq8": (q_ann_ivf_sq8, SQL_ANN_IVF_SQ8),
     "image_aspect_buckets": (q_image_aspect_buckets, SQL_IMAGE_ASPECT_BUCKETS),
     "image_caption_negatives": (
         q_image_caption_negatives,

@@ -1386,3 +1386,24 @@ def test_caption_negatives_are_mismatched_and_deterministic(spark):
     for image_id, neg_rank, *_ in a:
         per_img.setdefault(image_id, []).append(neg_rank)
     assert max(len(v) for v in per_img.values()) == 2
+
+
+def test_ivf_sq8_single_cell_equals_flat_sq8(spark):
+    """With a single-cell quantizer (k=1, nprobe=1) IVF-SQ8 degenerates to
+    flat SQ8 — the probed cell IS the corpus, so results must be
+    identical."""
+    from crawler_spark.operators.similarity import ivf_sq8_topk, sq8_adc_topk
+    from crawler_spark.plans.analytics_queries import _queries_df
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+    )
+    one_cell = e.filter(F.col("vec_id") == 0).select(
+        F.lit(0).cast("long").alias("centroid_id"),
+        F.col("embedding").alias("c_embedding"),
+    )
+    q = _queries_df(spark, SF)
+    flat = sorted(map(tuple, sq8_adc_topk(e, q, k=5).collect()))
+    ivf = sorted(map(tuple, ivf_sq8_topk(e, q, one_cell, k=5).collect()))
+    assert ivf == flat
