@@ -213,3 +213,36 @@ def test_minhash_prefix_hash_three_way_parity(spark, shingles):
             [s],
         ).fetchone()[0]
         assert got[s] == py == duck, (s, got[s], py, duck)
+
+
+def test_round_double_three_way_parity(spark):
+    """SQ8 codes and every *_e4/_e6 scaled-integer output lean on
+    round(DOUBLE) agreeing across engines INCLUDING exact .5 ties: Spark
+    round(x, 0), DuckDB round(x), and Python half-away-from-zero must match
+    on a seeded sample plus every representable tie in the code range."""
+    import math
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    vals = list(rng.uniform(-300.0, 300.0, 500))
+    vals += [k + 0.5 for k in range(-5, 260)]  # exact ties (representable)
+    vals += [0.0, -0.0, 255.0, 1e-12, -1e-12]
+    rows = [(float(v),) for v in vals]
+    got = [
+        r.r
+        for r in spark.createDataFrame(rows, "x double")
+        .select(F.round("x", 0).alias("r"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    duck = [
+        con.execute("SELECT round(CAST(? AS DOUBLE))", [v]).fetchone()[0]
+        for v, in rows
+    ]
+    for (v,), s, d in zip(rows, got, duck):
+        py = math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+        # exact .5 ties round away from zero in all three; non-ties agree
+        # by IEEE arithmetic
+        assert s == d == float(py), (v, s, d, py)
