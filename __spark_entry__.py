@@ -84,8 +84,10 @@ DEFER_TO_TAIL = [
     "ann_ivf_topk",
     "ann_ivf_nprobe",
     "tfidf_top_terms",
-    # thirty-third: registry grew to 83 (ann_ivf_sq8 enters)
+    # thirty-third..thirty-fourth: registry grew to 84 (ann_ivf_sq8,
+    # image_augmentation_params enter)
     "sample_stratified",
+    "pack_token_shards",
 ]
 
 

@@ -624,3 +624,44 @@ def caption_negatives(
         )
         .filter(F.col("neg_image_id").isNotNull())
     )
+
+
+def augmentation_params(
+    images: DataFrame,
+    crop_pct: int = 80,
+    salt: str = "aug1",
+) -> DataFrame:
+    """Deterministic augmentation parameters per image: a seeded
+    ``crop_pct``% crop box and a horizontal-flip bit, derived from md5 of
+    (salt, image_id) — the reproducible-augmentation table that lets a
+    training run (and its replay) see the identical augmented view of
+    every sample without storing augmented pixels.
+
+    Integer-only math (floor crops via ``div``, offsets via hash mod the
+    valid range), purely map-side — at any corpus scale this is a free
+    column projection next to the decode stage.
+    """
+    def h(tag: str):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}:{tag}:"), F.col("image_id"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    cw = F.expr(f"greatest(CAST(w * {crop_pct} div 100 AS INT), 1)")
+    ch = F.expr(f"greatest(CAST(h * {crop_pct} div 100 AS INT), 1)")
+    d = images.select("image_id", "w", "h").withColumn("crop_w", cw).withColumn(
+        "crop_h", ch
+    )
+    return d.select(
+        "image_id",
+        F.col("crop_w").cast("int").alias("crop_w"),
+        F.col("crop_h").cast("int").alias("crop_h"),
+        (h("cx") % (F.col("w") - F.col("crop_w") + 1)).cast("int").alias("x0"),
+        (h("cy") % (F.col("h") - F.col("crop_h") + 1)).cast("int").alias("y0"),
+        (h("fl") % 2 == 1).alias("flip"),
+    )

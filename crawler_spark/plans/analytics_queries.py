@@ -2661,6 +2661,33 @@ FROM l WHERE n2_id IS NOT NULL
 """
 
 
+def q_image_augmentation_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible augmentation table: per image a seeded 80% crop box and
+    flip bit from md5(salt:tag:image_id) — a training run and its replay
+    see the identical augmented view without storing augmented pixels.
+    Integer-only, map-side."""
+    imgs = MM.synthesize_images(_t(spark, sf_dir, "documents"))
+    return MM.augmentation_params(imgs, crop_pct=80)
+
+
+SQL_IMAGE_AUGMENTATION_PARAMS = f"""
+WITH imgs AS ({_IMGS_CTE}),
+c AS (
+  SELECT image_id, w, h,
+         greatest(CAST(w * 80 // 100 AS INTEGER), 1) AS crop_w,
+         greatest(CAST(h * 80 // 100 AS INTEGER), 1) AS crop_h
+  FROM imgs)
+SELECT image_id, crop_w, crop_h,
+       CAST(('0x' || substr(md5('aug1:cx:' || image_id), 1, 15))::BIGINT
+            % (w - crop_w + 1) AS INTEGER) AS x0,
+       CAST(('0x' || substr(md5('aug1:cy:' || image_id), 1, 15))::BIGINT
+            % (h - crop_h + 1) AS INTEGER) AS y0,
+       (('0x' || substr(md5('aug1:fl:' || image_id), 1, 15))::BIGINT % 2 = 1)
+         AS flip
+FROM c
+"""
+
+
 def q_image_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship IMAGE-corpus curation (the north_star's image+caption
     training-data pass, composed like q_corpus_curation): build the
@@ -3107,6 +3134,10 @@ ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "image_caption_negatives": (
         q_image_caption_negatives,
         SQL_IMAGE_CAPTION_NEGATIVES,
+    ),
+    "image_augmentation_params": (
+        q_image_augmentation_params,
+        SQL_IMAGE_AUGMENTATION_PARAMS,
     ),
     "pack_image_shards": (q_pack_image_shards, SQL_PACK_IMAGE_SHARDS),
     "sample_source_mix": (q_sample_source_mix, SQL_SAMPLE_SOURCE_MIX),

@@ -1407,3 +1407,23 @@ def test_ivf_sq8_single_cell_equals_flat_sq8(spark):
     flat = sorted(map(tuple, sq8_adc_topk(e, q, k=5).collect()))
     ivf = sorted(map(tuple, ivf_sq8_topk(e, q, one_cell, k=5).collect()))
     assert ivf == flat
+
+
+def test_augmentation_params_in_bounds_and_deterministic(spark):
+    """Augmentation invariants: crop box always inside the image, flip is a
+    bit, and the whole table replays identically."""
+    from crawler_spark.operators.multimodal import (
+        augmentation_params,
+        synthesize_images,
+    )
+
+    imgs = synthesize_images(_docs(spark))
+    a = sorted(map(tuple, augmentation_params(imgs).collect()))
+    b = sorted(map(tuple, augmentation_params(imgs).collect()))
+    assert a == b and a
+    dims = {r.image_id: (r.w, r.h) for r in imgs.collect()}
+    for image_id, crop_w, crop_h, x0, y0, flip in a:
+        w, h = dims[image_id]
+        assert 1 <= crop_w <= w and 1 <= crop_h <= h
+        assert 0 <= x0 <= w - crop_w and 0 <= y0 <= h - crop_h
+        assert isinstance(flip, bool)
