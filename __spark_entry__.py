@@ -88,6 +88,8 @@ DEFER_TO_TAIL = [
     # image_augmentation_params enter)
     "sample_stratified",
     "pack_token_shards",
+    # thirty-fifth: registry grew to 85 (vocab_oov enters)
+    "events_tumbling_window",
 ]
 
 

@@ -2098,6 +2098,64 @@ FROM t
 """
 
 
+def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage report: vocabulary = the corpus's top-K tokens (K=20 here, sized to the synthetic vocabulary)
+    (count DESC, token ASC — deterministic), per-doc out-of-vocab counts
+    and an integer OOV per-mille.  The vocab build is a TakeOrdered over
+    DISTINCT-token counts (map-side partials, top-k never a full sort of
+    the corpus); membership is a broadcast semi-join — the shape a
+    tokenizer-coverage audit runs at any corpus scale."""
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("__c"))
+        .orderBy(F.col("__c").desc(), F.col("token").asc())
+        .limit(20)
+        .select("token", F.lit(True).alias("__in_vocab"))
+    )
+    joined = toks.join(F.broadcast(vocab), "token", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.col("__in_vocab").isNull().cast("long")).cast("long").alias(
+            "n_oov"
+        ),
+    ).withColumn(
+        "oov_permille",
+        F.expr("CAST(n_oov * 1000 div n_tokens AS BIGINT)"),
+    )
+
+
+SQL_VOCAB_OOV = """
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+  FROM documents),
+flt AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS c,
+           row_number() OVER (ORDER BY count(*) DESC, token ASC) AS rn
+    FROM flt GROUP BY token) WHERE rn <= 20),
+j AS (
+  SELECT f.doc_id, (v.token IS NOT NULL) AS in_vocab
+  FROM flt f LEFT JOIN vocab v ON f.token = v.token)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+       CAST(sum(CASE WHEN in_vocab THEN 0 ELSE 1 END) * 1000
+            // count(*) AS BIGINT) AS oov_permille
+FROM j GROUP BY doc_id
+"""
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf-idf over (source, word): classic corpus-analysis rollup; top-5
     terms per source by (score desc, word asc)."""
@@ -3151,6 +3209,7 @@ ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "text_pii_scrub": (q_text_pii_scrub, SQL_TEXT_PII_SCRUB),
     "pack_token_shards": (q_pack_token_shards, SQL_PACK_TOKEN_SHARDS),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    "vocab_oov": (q_vocab_oov, SQL_VOCAB_OOV),
     "corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
     "events_tumbling_window": (q_events_tumbling_window, SQL_EVENTS_TUMBLING_WINDOW),
     "events_session_window": (q_events_session_window, SQL_EVENTS_SESSION_WINDOW),

