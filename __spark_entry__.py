@@ -88,8 +88,10 @@ DEFER_TO_TAIL = [
     # image_augmentation_params enter)
     "sample_stratified",
     "pack_token_shards",
-    # thirty-fifth: registry grew to 85 (vocab_oov enters)
+    # thirty-fifth..thirty-sixth: registry grew to 86 (vocab_oov,
+    # link_pagerank enter)
     "events_tumbling_window",
+    "frontier_generation_subpart",
 ]
 
 

@@ -1278,6 +1278,69 @@ FROM feat
 SQL_TEXT_QUALITY = _quality_sql()
 
 
+def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier prioritization by link importance: 3 iterations of
+    INTEGER-arithmetic PageRank (scaled fixed-point, truncating div — every
+    step exact in both engines) over a deterministic synthetic link graph
+    on the document ids.  Each iteration is one (dst, contrib) hash
+    aggregate — the canonical distributed PageRank shape."""
+    from pyspark.sql import Window
+
+    from crawler_spark.operators.graph import (
+        pagerank_integer,
+        synthetic_edges,
+    )
+
+    nodes = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("node_id")
+    )
+    edges = synthetic_edges(nodes, out_degree=3)
+    pr = pagerank_integer(nodes, edges, iters=3)
+    idmap = nodes.withColumn(
+        "node_rank", F.row_number().over(Window.orderBy("node_id")) - 1
+    )
+    return idmap.join(pr, "node_rank").select(
+        F.col("node_id").alias("doc_id"),
+        F.col("rank_e12").cast("long").alias("rank_e12"),
+    )
+
+
+def _pagerank_sql(iters: int = 3) -> str:
+    blocks = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        blocks.append(f"""r{i} AS (
+  SELECT b.node_rank,
+         CAST(b.tele + (85 * COALESCE(s.inn, 0)) // 100 AS BIGINT) AS rank
+  FROM r0 b LEFT JOIN (
+    SELECT e.dst_rank AS node_rank, sum(p.rank // 3) AS inn
+    FROM e JOIN {prev} p ON e.src_rank = p.node_rank
+    GROUP BY e.dst_rank) s USING (node_rank))""")
+        prev = f"r{i}"
+    joined = ",\n".join(blocks)
+    return f"""
+WITH n AS (SELECT CAST(doc_id AS BIGINT) AS node_id FROM documents),
+cnt AS (SELECT count(*) AS c FROM n),
+r AS (SELECT node_id,
+             row_number() OVER (ORDER BY node_id) - 1 AS src_rank
+      FROM n),
+e AS (
+  SELECT src_rank, (src_rank * 31 + 17 * j) % c AS dst_rank
+  FROM r CROSS JOIN cnt, LATERAL unnest(generate_series(1, 3)) s(j)),
+r0 AS (
+  SELECT src_rank AS node_rank,
+         CAST(1000000000000 // c AS BIGINT) AS rank,
+         CAST((15 * (1000000000000 // c)) // 100 AS BIGINT) AS tele
+  FROM r CROSS JOIN cnt),
+{joined}
+SELECT r.node_id AS doc_id, {prev}.rank AS rank_e12
+FROM r JOIN {prev} ON r.src_rank = {prev}.node_rank
+"""
+
+
+SQL_LINK_PAGERANK = _pagerank_sql()
+
+
 def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-datasheet rollup (the "corpus card" a released training set
     ships with): corpus-level metrics as (metric, value BIGINT) rows —
@@ -3206,6 +3269,7 @@ ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "filter_funnel": (q_filter_funnel, SQL_FILTER_FUNNEL),
     "image_filter_funnel": (q_image_filter_funnel, SQL_IMAGE_FILTER_FUNNEL),
     "corpus_card": (q_corpus_card, SQL_CORPUS_CARD),
+    "link_pagerank": (q_link_pagerank, SQL_LINK_PAGERANK),
     "text_pii_scrub": (q_text_pii_scrub, SQL_TEXT_PII_SCRUB),
     "pack_token_shards": (q_pack_token_shards, SQL_PACK_TOKEN_SHARDS),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),

@@ -1449,3 +1449,31 @@ def test_vocab_oov_counts_are_consistent(spark):
         .count()
     )
     assert total == corpus_tokens
+
+
+def test_pagerank_integer_matches_python_reference(spark):
+    """Integer PageRank replays exactly against a Python reference on a
+    hand graph, and the most-linked node ranks highest."""
+    from crawler_spark.operators.graph import SCALE, pagerank_integer
+
+    # out-degree 1: 0->2, 1->2, 2->0, 3->2
+    edges = spark.createDataFrame(
+        [(0, 2), (1, 2), (2, 0), (3, 2)], "src_rank long, dst_rank long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "node_id long")
+    got = {
+        r.node_rank: r.rank_e12
+        for r in pagerank_integer(nodes, edges, iters=3, out_degree=1).collect()
+    }
+    n, base = 4, SCALE // 4
+    tele = (15 * base) // 100
+    ranks = {v: base for v in range(n)}
+    adj = {0: [2], 1: [2], 2: [0], 3: [2]}
+    for _ in range(3):
+        inn = {v: 0 for v in range(n)}
+        for u, vs in adj.items():
+            for v in vs:
+                inn[v] += ranks[u] // 1
+        ranks = {v: tele + (85 * inn[v]) // 100 for v in range(n)}
+    assert got == ranks
+    assert max(got, key=got.get) == 2
