@@ -30,6 +30,7 @@ import time
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 APPEND_TABLES = ("problems", "images", "fetch_log", "lineage", "listing")
 SNAPSHOT_TABLES = ("url_seen", "host_state")
@@ -292,6 +293,51 @@ class ParquetWarehouse:
             if path.exists():
                 return self.spark.read.parquet(str(path))
         return None
+
+    def snapshot_diff(
+        self,
+        table: str,
+        key_cols: list[str],
+        from_generation: int,
+        to_generation: int,
+    ) -> DataFrame:
+        """CDC-style diff between two committed snapshots of a snapshot
+        table — the Iceberg changelog / incremental-read analog: one row
+        per key that was ``added``, ``removed``, or ``changed`` between the
+        generations (unchanged keys are filtered out).
+
+        Shape: each side reduces to (key, md5 of the canonical non-key
+        struct) BEFORE the full-outer join, so only narrow fingerprints
+        cross the exchange — never the payload columns; with bucketed
+        snapshots on the same key the join co-locates like any seen-join.
+        """
+        old = self.read_snapshot(table, as_of_generation=from_generation)
+        new = self.read_snapshot(table, as_of_generation=to_generation)
+        if old is None or new is None:
+            raise ValueError(
+                f"snapshot_diff: no committed snapshot of {table!r} at or "
+                f"before one of generations {from_generation}/{to_generation}"
+            )
+        others = sorted(c for c in new.columns if c not in key_cols)
+
+        def fp(df: DataFrame, name: str) -> DataFrame:
+            return df.select(
+                *key_cols,
+                F.md5(F.to_json(F.struct(*others))).alias(name),
+            )
+
+        o, n = fp(old, "__old_fp"), fp(new, "__new_fp")
+        joined = o.join(n, key_cols, "full_outer")
+        change = (
+            F.when(F.col("__old_fp").isNull(), F.lit("added"))
+            .when(F.col("__new_fp").isNull(), F.lit("removed"))
+            .when(F.col("__old_fp") != F.col("__new_fp"), F.lit("changed"))
+        )
+        return (
+            joined.withColumn("change", change)
+            .filter(F.col("change").isNotNull())
+            .select(*key_cols, "change")
+        )
 
     def manifest(self, generation: int) -> dict:
         return json.loads((self.root / "_commits" / f"{generation}.json").read_text())

@@ -218,3 +218,26 @@ def test_recompaction_same_bound_never_deletes_published_dir(
     table_dir = tmp_path / "wh" / "problems"
     assert not (table_dir / m1["dir"]).exists()
     assert (table_dir / m2["dir"]).exists()
+
+
+def test_snapshot_diff_classifies_changes(spark, tmp_path):
+    """CDC diff between two committed snapshot generations: added/removed/
+    changed keys reported, unchanged keys absent."""
+    wh = ParquetWarehouse(str(tmp_path), spark)
+    g0 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    g1 = spark.createDataFrame(
+        [(2, "b"), (3, "C"), (4, "d")], "id long, v string"
+    )
+    wh.stage_snapshot("seen", g0, 0)
+    wh.commit(0)
+    wh.stage_snapshot("seen", g1, 1)
+    wh.commit(1)
+    diff = {
+        r.id: r.change
+        for r in wh.snapshot_diff("seen", ["id"], 0, 1).collect()
+    }
+    assert diff == {1: "removed", 3: "changed", 4: "added"}
+    # self-diff is empty
+    assert wh.snapshot_diff("seen", ["id"], 1, 1).count() == 0
