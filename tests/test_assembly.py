@@ -134,3 +134,31 @@ def test_chunk_documents_tiles_with_overlap(spark):
     assert one[1].chunk_md5 == want
     short = [r for r in rows if r.doc_id == 2]
     assert [(r.start_tok, r.n_chunk_tokens) for r in short] == [(0, 3)]
+
+
+def test_chunk_documents_matches_python_reference_on_random_lengths(spark):
+    """Window count/starts/lengths replay a Python reference for random
+    token counts across the short-doc and exact-boundary regimes."""
+    import random
+
+    rng = random.Random(11)
+    lens = [rng.randint(1, 90) for _ in range(40)] + [32, 33, 56, 57, 8, 24]
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(n))) for i, n in enumerate(lens)],
+        "doc_id long, text string",
+    )
+    from crawler_spark.operators.assembly import chunk_documents
+
+    got = {}
+    for r in chunk_documents(docs, chunk_tokens=32, stride=24).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_idx, r.start_tok, r.n_chunk_tokens)
+        )
+    for i, n in enumerate(lens):
+        n_chunks = 1 if n <= 32 else 1 + ((n - 32) + 23) // 24
+        want = [
+            (c, c * 24, min(32, n - c * 24)) for c in range(n_chunks)
+        ]
+        assert sorted(got[i]) == want, (i, n)
+        # full coverage: last window reaches the final token
+        assert want[-1][1] + want[-1][2] == n
