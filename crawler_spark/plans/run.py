@@ -360,12 +360,18 @@ def run_crawl(
     seen_buckets: int = 0,
     compact_every: int = 0,
     expire: bool = False,
+    seen_churn: bool = False,
 ) -> list[dict]:
     """Driver loop with resume: continues after the last committed
     generation (idempotent under kill/restart).  ``compact_every`` > 0 runs
     :func:`maintain_warehouse` after every Nth committed generation — the
     small-file problem is per-generation directories × 10^4 generations, so
-    a real deployment compacts as it crawls, not as an afterthought."""
+    a real deployment compacts as it crawls, not as an afterthought.
+    ``seen_churn`` adds a per-generation CDC report over the url_seen
+    snapshot (warehouse.snapshot_diff) to the returned metrics — the
+    added/removed/changed key counts an operator watches to spot listing
+    regressions (a sudden mass-removal means an adapter broke, not that
+    the judge deleted its archive)."""
     wh = ParquetWarehouse(warehouse_dir, spark)
     start = (wh.last_generation() + 1) if wh.last_generation() is not None else 0
     out = []
@@ -376,6 +382,17 @@ def run_crawl(
                 seen_buckets=seen_buckets,
             )
         )
+        if seen_churn and g > 0:
+            churn = (
+                wh.snapshot_diff(
+                    "url_seen", ["judge", "pid"], g - 1, g,
+                    ignore_cols=("last_generation",),
+                )
+                .groupBy("change")
+                .count()
+                .collect()
+            )
+            out[-1]["seen_churn"] = {r["change"]: r["count"] for r in churn}
         print(f"[crawler_spark] committed generation {g}: {out[-1]}")
         if compact_every and (g + 1) % compact_every == 0:
             stats = maintain_warehouse(wh, expire=expire)
@@ -404,6 +421,11 @@ def main() -> None:
              "after every N committed generations (0 = never)",
     )
     ap.add_argument(
+        "--seen-churn", action="store_true",
+        help="report per-generation added/removed/changed url_seen keys "
+             "(CDC diff of consecutive snapshots) in the metrics",
+    )
+    ap.add_argument(
         "--expire-compacted", action="store_true",
         help="after each compaction, reclaim the superseded per-generation "
              "dirs (trades pre-bound time travel for storage)",
@@ -421,6 +443,7 @@ def main() -> None:
         seen_buckets=args.seen_buckets,
         compact_every=args.compact_every,
         expire=args.expire_compacted,
+        seen_churn=args.seen_churn,
     )
     print(f"[crawler_spark] done: {metrics}")
 

@@ -300,11 +300,14 @@ class ParquetWarehouse:
         key_cols: list[str],
         from_generation: int,
         to_generation: int,
+        ignore_cols: tuple[str, ...] = (),
     ) -> DataFrame:
         """CDC-style diff between two committed snapshots of a snapshot
         table — the Iceberg changelog / incremental-read analog: one row
         per key that was ``added``, ``removed``, or ``changed`` between the
-        generations (unchanged keys are filtered out).
+        generations (unchanged keys are filtered out).  ``ignore_cols``
+        excludes bookkeeping columns (e.g. a last-touched generation stamp
+        that changes every run) from the change fingerprint.
 
         Shape: each side reduces to (key, md5 of the canonical non-key
         struct) BEFORE the full-outer join, so only narrow fingerprints
@@ -318,7 +321,9 @@ class ParquetWarehouse:
                 f"snapshot_diff: no committed snapshot of {table!r} at or "
                 f"before one of generations {from_generation}/{to_generation}"
             )
-        others = sorted(c for c in new.columns if c not in key_cols)
+        others = sorted(
+            c for c in new.columns if c not in key_cols and c not in ignore_cols
+        )
 
         def fp(df: DataFrame, name: str) -> DataFrame:
             return df.select(

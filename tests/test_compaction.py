@@ -241,3 +241,31 @@ def test_snapshot_diff_classifies_changes(spark, tmp_path):
     assert diff == {1: "removed", 3: "changed", 4: "added"}
     # self-diff is empty
     assert wh.snapshot_diff("seen", ["id"], 1, 1).count() == 0
+
+
+def test_snapshot_diff_ignores_bookkeeping_columns(spark, tmp_path):
+    """ignore_cols drops always-churning stamps from the change
+    fingerprint: a row whose only difference is the stamp is NOT
+    reported."""
+    wh = ParquetWarehouse(str(tmp_path), spark)
+    g0 = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0)], "id long, v string, gen int"
+    )
+    g1 = spark.createDataFrame(
+        [(1, "a", 1), (2, "B", 1)], "id long, v string, gen int"
+    )
+    wh.stage_snapshot("seen", g0, 0)
+    wh.commit(0)
+    wh.stage_snapshot("seen", g1, 1)
+    wh.commit(1)
+    noisy = {
+        r.id: r.change for r in wh.snapshot_diff("seen", ["id"], 0, 1).collect()
+    }
+    assert noisy == {1: "changed", 2: "changed"}
+    clean = {
+        r.id: r.change
+        for r in wh.snapshot_diff(
+            "seen", ["id"], 0, 1, ignore_cols=("gen",)
+        ).collect()
+    }
+    assert clean == {2: "changed"}
