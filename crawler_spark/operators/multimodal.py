@@ -641,6 +641,9 @@ def augmentation_params(
     valid range), purely map-side — at any corpus scale this is a free
     column projection next to the decode stage.
     """
+    if not 0 < crop_pct <= 100:
+        raise ValueError(f"crop_pct must be in (0, 100], got {crop_pct}")
+
     def h(tag: str):
         return F.conv(
             F.substring(

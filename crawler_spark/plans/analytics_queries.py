@@ -1281,25 +1281,48 @@ SQL_TEXT_QUALITY = _quality_sql()
 def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frontier prioritization by link importance: 3 iterations of
     INTEGER-arithmetic PageRank (scaled fixed-point, truncating div — every
-    step exact in both engines) over a deterministic synthetic link graph
-    on the document ids.  Each iteration is one (dst, contrib) hash
-    aggregate — the canonical distributed PageRank shape."""
-    from pyspark.sql import Window
+    step exact in both engines) over edges REGEXP-EXTRACTED from
+    crawl-shaped page HTML (`/problem/<id>/view` hrefs, the link shape the
+    reference's listing parser walks — tools.go:204-283).  The graph is a
+    real crawl graph in miniature: VARIABLE out-degree (2 or 3 links per
+    page), dangling pages (every 17th has its links removed), and the
+    out-degree derived from the edge set, not assumed.
 
-    from crawler_spark.operators.graph import (
-        pagerank_integer,
-        synthetic_edges,
-    )
+    Scale shape: edge extraction is pure map-side; each iteration is one
+    (dst, contrib) hash aggregate + a hash join back to the node table —
+    NO no-partition window anywhere (the r4 audit's scale-killer id-map is
+    gone; `tools/explain_audit.py` flags any global window that sneaks
+    back in)."""
+    from crawler_spark.operators.graph import link_edges, pagerank_integer
 
     nodes = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("node_id")
     )
-    edges = synthetic_edges(nodes, out_degree=3)
-    pr = pagerank_integer(nodes, edges, iters=3)
-    idmap = nodes.withColumn(
-        "node_rank", F.row_number().over(Window.orderBy("node_id")) - 1
+    n = nodes.count()
+
+    def href(add: int):
+        return F.concat(
+            F.lit('<a href="/problem/'),
+            ((F.col("node_id") * 31 + add) % n).cast("string"),
+            F.lit('/view">t</a>'),
+        )
+
+    desc = F.when(
+        F.col("node_id") % 17 == 0, F.lit("archived page, links removed")
+    ).otherwise(
+        F.concat(
+            F.lit("see "), href(17), F.lit(" and "), href(34),
+            F.when(
+                F.col("node_id") % 3 == 0,
+                F.concat(F.lit(" plus "), href(51)),
+            ).otherwise(F.lit("")),
+        )
     )
-    return idmap.join(pr, "node_rank").select(
+    pages = nodes.select(
+        F.col("node_id").alias("doc_id"), desc.alias("description")
+    )
+    pr = pagerank_integer(nodes, link_edges(pages), iters=3)
+    return pr.select(
         F.col("node_id").alias("doc_id"),
         F.col("rank_e12").cast("long").alias("rank_e12"),
     )
@@ -1310,31 +1333,45 @@ def _pagerank_sql(iters: int = 3) -> str:
     prev = "r0"
     for i in range(1, iters + 1):
         blocks.append(f"""r{i} AS (
-  SELECT b.node_rank,
-         CAST(b.tele + (85 * COALESCE(s.inn, 0)) // 100 AS BIGINT) AS rank
+  SELECT b.node_id,
+         CAST(b.tele + (85 * COALESCE(s.inn, 0)) // 100 AS BIGINT) AS rank,
+         b.tele
   FROM r0 b LEFT JOIN (
-    SELECT e.dst_rank AS node_rank, sum(p.rank // 3) AS inn
-    FROM e JOIN {prev} p ON e.src_rank = p.node_rank
-    GROUP BY e.dst_rank) s USING (node_rank))""")
+    SELECT e.dst AS node_id, sum(p.rank // e.deg) AS inn
+    FROM e JOIN {prev} p ON e.src = p.node_id
+    GROUP BY e.dst) s USING (node_id))""")
         prev = f"r{i}"
     joined = ",\n".join(blocks)
     return f"""
 WITH n AS (SELECT CAST(doc_id AS BIGINT) AS node_id FROM documents),
 cnt AS (SELECT count(*) AS c FROM n),
-r AS (SELECT node_id,
-             row_number() OVER (ORDER BY node_id) - 1 AS src_rank
-      FROM n),
-e AS (
-  SELECT src_rank, (src_rank * 31 + 17 * j) % c AS dst_rank
-  FROM r CROSS JOIN cnt, LATERAL unnest(generate_series(1, 3)) s(j)),
+pages AS (
+  SELECT node_id,
+         CASE WHEN node_id % 17 = 0 THEN 'archived page, links removed'
+              ELSE 'see <a href="/problem/' || CAST((node_id * 31 + 17) % c AS VARCHAR)
+                   || '/view">t</a> and <a href="/problem/'
+                   || CAST((node_id * 31 + 34) % c AS VARCHAR) || '/view">t</a>'
+                   || CASE WHEN node_id % 3 = 0
+                           THEN ' plus <a href="/problem/'
+                                || CAST((node_id * 31 + 51) % c AS VARCHAR)
+                                || '/view">t</a>'
+                           ELSE '' END
+         END AS description
+  FROM n CROSS JOIN cnt),
+links AS (
+  SELECT node_id AS src,
+         CAST(unnest(regexp_extract_all(description,
+              '<a href="/problem/([0-9]+)/view"', 1)) AS BIGINT) AS dst
+  FROM pages),
+deg AS (SELECT src, count(*) AS deg FROM links GROUP BY src),
+e AS (SELECT l.src, l.dst, d.deg FROM links l JOIN deg d USING (src)),
 r0 AS (
-  SELECT src_rank AS node_rank,
+  SELECT node_id,
          CAST(1000000000000 // c AS BIGINT) AS rank,
          CAST((15 * (1000000000000 // c)) // 100 AS BIGINT) AS tele
-  FROM r CROSS JOIN cnt),
+  FROM n CROSS JOIN cnt),
 {joined}
-SELECT r.node_id AS doc_id, {prev}.rank AS rank_e12
-FROM r JOIN {prev} ON r.src_rank = {prev}.node_rank
+SELECT node_id AS doc_id, rank AS rank_e12 FROM {prev}
 """
 
 

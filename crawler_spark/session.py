@@ -35,8 +35,14 @@ def utc_analyzed(spark: SparkSession, build: Callable[[], DataFrame]) -> DataFra
         df.schema  # force analysis under UTC
         return df
     finally:
-        if prev:
+        # `prev is not None` (not truthiness): an empty-string prior value
+        # must still be restored, and only a genuinely absent prior setting
+        # falls through to unset — otherwise the UTC pin would leak, the
+        # exact session-mutation bug this helper exists to remove.
+        if prev is not None:
             spark.conf.set("spark.sql.session.timeZone", prev)
+        else:
+            spark.conf.unset("spark.sql.session.timeZone")
 
 
 def get_spark(

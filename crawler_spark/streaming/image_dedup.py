@@ -97,22 +97,29 @@ def start_image_dedup_stream(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark_b = batch_df.sparkSession
         batch = batch_df.select("image_id", "phash")
-        try:
-            prior = F.col("batch_id") != batch_id
+        # First-batch detection is an explicit path-existence check, NOT a
+        # bare except: a transient/corruption read failure on prior state
+        # must fail the micro-batch visibly (and be retried from the
+        # checkpoint), never be silently treated as "no prior members" —
+        # that would emit wrong pairs and re-append already-indexed values.
+        prior = F.col("batch_id") != batch_id
+        if Path(members_path).exists():
             members = (
                 spark_b.read.parquet(members_path)
                 .filter(prior)
                 .select("image_id", "phash")
             )
+        else:
+            members = spark_b.createDataFrame(
+                [], "image_id string, phash long"
+            )
+        if Path(index_path).exists():
             index = (
                 spark_b.read.parquet(index_path)
                 .filter(prior)
                 .select("phash", "chunk_id", "chunk_val")
             )
-        except Exception:
-            members = spark_b.createDataFrame(
-                [], "image_id string, phash long"
-            )
+        else:
             index = spark_b.createDataFrame(
                 [], "phash long, chunk_id int, chunk_val long"
             )

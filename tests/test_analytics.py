@@ -12,6 +12,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 SF = "/root/testdata/sf0.001"
@@ -1427,6 +1428,10 @@ def test_augmentation_params_in_bounds_and_deterministic(spark):
         assert 1 <= crop_w <= w and 1 <= crop_h <= h
         assert 0 <= x0 <= w - crop_w and 0 <= y0 <= h - crop_h
         assert isinstance(flip, bool)
+    # out-of-range crop_pct is an error, never silent NULL/negative offsets
+    for bad in (0, -5, 101, 150):
+        with pytest.raises(ValueError):
+            augmentation_params(imgs, crop_pct=bad)
 
 
 def test_vocab_oov_counts_are_consistent(spark):
@@ -1456,14 +1461,14 @@ def test_pagerank_integer_matches_python_reference(spark):
     hand graph, and the most-linked node ranks highest."""
     from crawler_spark.operators.graph import SCALE, pagerank_integer
 
-    # out-degree 1: 0->2, 1->2, 2->0, 3->2
+    # out-degree 1 everywhere: 0->2, 1->2, 2->0, 3->2
     edges = spark.createDataFrame(
-        [(0, 2), (1, 2), (2, 0), (3, 2)], "src_rank long, dst_rank long"
+        [(0, 2), (1, 2), (2, 0), (3, 2)], "src long, dst long"
     )
     nodes = spark.createDataFrame([(i,) for i in range(4)], "node_id long")
     got = {
-        r.node_rank: r.rank_e12
-        for r in pagerank_integer(nodes, edges, iters=3, out_degree=1).collect()
+        r.node_id: r.rank_e12
+        for r in pagerank_integer(nodes, edges, iters=3).collect()
     }
     n, base = 4, SCALE // 4
     tele = (15 * base) // 100
@@ -1477,3 +1482,53 @@ def test_pagerank_integer_matches_python_reference(spark):
         ranks = {v: tele + (85 * inn[v]) // 100 for v in range(n)}
     assert got == ranks
     assert max(got, key=got.get) == 2
+
+
+def test_pagerank_variable_degree_and_isolated_nodes(spark):
+    """Variable out-degree is DERIVED from the edges (node 0 fans out to 3
+    targets incl. a multi-edge, others to 1), a dangling node (3)
+    contributes nothing, and an ISOLATED node (5 — no edges at all) still
+    gets a teleport-mass rank row."""
+    from crawler_spark.operators.graph import SCALE, pagerank_integer
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 2), (2, 0), (1, 3), (4, 0)],
+        "src long, dst long",
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "node_id long")
+    got = {
+        r.node_id: r.rank_e12
+        for r in pagerank_integer(nodes, edges, iters=3).collect()
+    }
+    n, base = 6, SCALE // 6
+    tele = (15 * base) // 100
+    ranks = {v: base for v in range(n)}
+    adj = {0: [1, 2, 2], 2: [0], 1: [3], 4: [0]}
+    for _ in range(3):
+        inn = {v: 0 for v in range(n)}
+        for u, vs in adj.items():
+            deg = len(vs)
+            for v in vs:
+                inn[v] += ranks[u] // deg
+        ranks = {v: tele + (85 * inn[v]) // 100 for v in range(n)}
+    assert got == ranks
+    assert set(got) == set(range(6))  # isolated node 5 present
+    assert got[5] == tele  # teleport mass only
+
+
+def test_link_edges_extraction(spark):
+    """link_edges pulls every /problem/<id>/view href (multi-edges kept),
+    pages with no hrefs produce no rows."""
+    from crawler_spark.operators.graph import link_edges
+
+    pages = spark.createDataFrame(
+        [
+            (1, 'x <a href="/problem/7/view">a</a> y '
+                '<a href="/problem/7/view">b</a> <a href="/problem/9/view">c</a>'),
+            (2, "no links here"),
+            (3, '<a href="/problem/1/view">back</a>'),
+        ],
+        "doc_id long, description string",
+    )
+    got = sorted((r.src, r.dst) for r in link_edges(pages).collect())
+    assert got == [(1, 7), (1, 7), (1, 9), (3, 1)]
