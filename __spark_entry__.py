@@ -38,60 +38,56 @@ def entry(spark: SparkSession) -> DataFrame:
 # triple-green rows instead.  Deferred rows additionally retain in-repo
 # DuckDB-parity coverage every round via tests/test_deferred_parity.py.
 DRIVER_CHECK_WINDOW = 50
+# Round-5 rotation.  87 registered = 50 window + 37 tail.  The window must
+# hold every query whose ONLY green driver round is r4 (29 rows — they need
+# a second green before they are defer-eligible) plus the brand-new
+# corpus_assembly, leaving 20 window slots for returning r4-deferred rows.
+# The tail therefore splits two ways, both within the K=2 staleness bound
+# pinned by tests/test_entry.py::test_deferred_staleness_bounded:
+#  - 21 rows checked green in the r4 window (staleness 1), and
+#  - 16 triple-green (r1+r2+r3) rows re-deferred from the r4 tail
+#    (staleness 2 — the bound; they MUST rotate back next round).
+# The other 20 r4-tail rows return to the window for re-verification.
 DEFER_TO_TAIL = [
-    "p1_url_validity",
-    "t2_t3_keys",
-    "t6_heading_rewrite",
-    "t7_limit_extraction",
-    "c2_retry_budget",
-    "w1_listing_snapshot",
-    "a4_max_over_paginator",
-    "s12_state_recovery",
-    # ninth..eighteenth slots: registry grew to 68 this round
-    # (image_phash_incremental, image_dedup_representatives, ann_pq_adc,
-    # ann_ivf_pq, ann_ivf_pq_residual, image_caption_joint_dedup,
-    # text_decontaminate, text_repetition, sample_host_cap,
-    # text_pii_scrub — new queries must sit inside the window)
-    "j3_chosen_semijoin",
-    "s7_listing_expand",
+    # green in r4 (deferred with staleness 1)
+    "frontier_generation",
+    "j1_seen_antijoin",
+    "j1_due_or_changed",
+    "a1_priority_topk",
+    "s10_fixed_range_scan",
+    "p5_title_projection",
+    "t5_sections",
+    "t8_judge_type",
+    "t9_t10_guards",
+    "w2_main_json",
+    "w3_write_files_skip",
+    "c3_failure_isolation",
+    "c7_multi_tenant",
+    "dedup_minhash_incremental",
+    "dedup_clusters",
+    "dedup_clusters_star",
+    "image_phash_neardup",
+    "image_corpus_curation",
+    "corpus_curation",
+    "events_session_window",
+    "events_quantiles",
+    # triple-green r1+r2+r3, re-deferred from the r4 tail (staleness 2)
     "a3_admission_budget",
+    "a4_max_over_paginator",
     "a5_seen_refresh",
-    "p4_p6_link_guards",
-    "t1_link_extraction",
-    "c1_politeness_gaps",
-    "dedup_exact",
-    "text_quality",
-    "text_langid",
-    # nineteenth..twenty-first: registry grew to 71 (split_holdout,
-    # text_quality_model, sample_source_mix enter the window)
-    "text_tokens",
-    "text_fingerprint",
-    "mm_av_metadata",
-    # twenty-second..twenty-fourth: registry grew to 74 (dedup_semantic,
-    # image_aspect_buckets, pack_image_shards enter the window)
-    "mm_image_metadata",
-    "mm_decode_features",
-    "dedup_simhash",
-    # twenty-fifth..twenty-eighth: registry grew to 78 (quality_calibrated,
-    # chunk_documents, filter_funnel, image_filter_funnel enter)
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
-    "ann_lsh_bucketed",
-    # twenty-ninth..thirty-second: registry grew to 82 (dedup_substring,
-    # corpus_card, ann_sq8, image_caption_negatives enter)
     "ann_bruteforce_topk",
     "ann_ivf_topk",
-    "ann_ivf_nprobe",
-    "tfidf_top_terms",
-    # thirty-third..thirty-fourth: registry grew to 84 (ann_ivf_sq8,
-    # image_augmentation_params enter)
-    "sample_stratified",
-    "pack_token_shards",
-    # thirty-fifth..thirty-sixth: registry grew to 86 (vocab_oov,
-    # link_pagerank enter)
-    "events_tumbling_window",
-    "frontier_generation_subpart",
+    "ann_lsh_bucketed",
+    "c1_politeness_gaps",
+    "c2_retry_budget",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "j3_chosen_semijoin",
+    "mm_av_metadata",
+    "mm_decode_features",
 ]
 
 

@@ -42,44 +42,58 @@ def test_queries_and_oracle_keys_align():
     assert rows_only == set(), f"unexpected oracle-less queries: {rows_only}"
 
 
-def _prior_round_status() -> dict[str, list[bool]]:
-    """hash_match history per query across all CORRECTNESS_r*.json files."""
+def _round_history() -> tuple[int, dict[str, dict[int, bool]]]:
+    """Round-indexed hash_match history per query: CORRECTNESS_r{i}.json →
+    hist[q][i].  Absent (query, round) pairs mean the query sat outside the
+    driver's checked window that round."""
     import json
 
-    out: dict[str, list[bool]] = {}
-    for p in sorted(Path(__file__).resolve().parents[1].glob("CORRECTNESS_r*.json")):
+    files = sorted(Path(__file__).resolve().parents[1].glob("CORRECTNESS_r*.json"))
+    hist: dict[str, dict[int, bool]] = {}
+    for i, p in enumerate(files, 1):
         for q, row in json.loads(p.read_text()).items():
-            out.setdefault(q, []).append(bool(row.get("hash_match")))
-    return out
+            hist.setdefault(q, {})[i] = bool(row.get("hash_match"))
+    return len(files), hist
 
 
 def test_deferred_rows_are_long_stable():
     """Rotation invariant: a query may be deferred past the driver window
     only if it already holds >=2 hash-green driver rows — nothing unproven
     ever leaves the checked window."""
-    hist = _prior_round_status()
+    _n, hist = _round_history()
     for q in E.DEFER_TO_TAIL:
-        greens = sum(hist.get(q, []))
+        greens = sum(hist.get(q, {}).values())
         assert greens >= 2, (
             f"{q} deferred with only {greens} green driver rounds — "
             "defer only multi-round hash-green rows"
         )
 
 
-def test_rotation_brings_prior_deferred_back():
-    """The r3-deferred rows (no row in CORRECTNESS_r03.json) must sit inside
-    the checked window this round so they get driver re-verification, along
-    with every query that has never been driver-green."""
-    hist = _prior_round_status()
+def test_deferred_staleness_bounded():
+    """MAX-staleness invariant (K=2, VERDICT-r4 #6): a deferred query must
+    hold a hash-green driver row within the last two recorded driver
+    rounds — i.e. a row may skip at most one round of driver verification
+    before it has to rotate back into the checked window.  This is the
+    data-driven guarantee that the rotation schedule cannot silently
+    park a query in the tail forever."""
+    n, hist = _round_history()
+    last_two = {n, n - 1}
+    for q in E.DEFER_TO_TAIL:
+        rounds_green = {r for r, ok in hist.get(q, {}).items() if ok}
+        assert rounds_green & last_two, (
+            f"{q} deferred but its newest green driver round is "
+            f"{max(rounds_green, default=None)} of {n} — staleness exceeds "
+            "K=2; rotate it back into the checked window"
+        )
+
+
+def test_unproven_queries_inside_window():
+    """Every query that has never been driver-green (including brand-new
+    registrations with no history at all) must sit inside the checked
+    window so it gets a driver row this round."""
+    _n, hist = _round_history()
     checked = set(list(E.queries())[: E.DRIVER_CHECK_WINDOW])
-    r3_deferred = {
-        "t5_sections", "t9_t10_guards", "w2_main_json", "p5_title_projection",
-        "c7_multi_tenant", "t8_judge_type", "w3_write_files_skip",
-        "s10_fixed_range_scan",
-    }
-    missing = r3_deferred - checked
-    assert not missing, f"r3-deferred rows still outside the window: {missing}"
-    never_green = {q for q, greens in hist.items() if not any(greens)}
+    never_green = {q for q, rounds in hist.items() if not any(rounds.values())}
     never_green |= set(E.queries()) - set(hist)  # brand-new queries
     missing = never_green - checked
     assert not missing, f"never-green queries outside the driver window: {missing}"
