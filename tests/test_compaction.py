@@ -269,3 +269,39 @@ def test_snapshot_diff_ignores_bookkeeping_columns(spark, tmp_path):
         ).collect()
     }
     assert clean == {2: "changed"}
+
+
+def test_crash_between_publish_and_expiry_resumes_clean(spark, tmp_path):
+    """Crash-window complement to the staging-invisibility test
+    (VERDICT-r4 #7): a compaction is PUBLISHED (_compaction.json swapped)
+    but the process dies before — or midway through — expire_compacted.
+    A fresh warehouse instance ("resume") must serve byte-identical reads,
+    and expiry must be idempotent from any interruption point."""
+    import shutil
+
+    wh = ParquetWarehouse(str(tmp_path), spark)
+    for g in range(3):
+        _stage_gen(spark, wh, g)
+    current = _rows(wh.read_appends("problems"))
+    wh.compact_appends("problems", target_file_bytes=1 << 30)
+    # -- crash #1: published, expiry never ran.  Resume on a fresh handle.
+    wh2 = ParquetWarehouse(str(tmp_path), spark)
+    assert _rows(wh2.read_appends("problems")) == current
+    # time travel before the bound still works (gen dirs intact)
+    assert len(_rows(wh2.read_appends("problems", as_of_generation=0))) == 50
+
+    # -- crash #2: expiry died after deleting ONE superseded gen dir.
+    shutil.rmtree(tmp_path / "problems" / "gen=1")
+    wh3 = ParquetWarehouse(str(tmp_path), spark)
+    # current view is served by the compaction, not the gen dirs
+    assert _rows(wh3.read_appends("problems")) == current
+    # resume completes the expiry: the two remaining dirs go
+    assert wh3.expire_compacted("problems") == 2
+    assert not list((tmp_path / "problems").glob("gen=*"))
+    assert _rows(wh3.read_appends("problems")) == current
+    # idempotent: a second expiry (re-crash + re-resume) removes nothing
+    assert wh3.expire_compacted("problems") == 0
+    assert ParquetWarehouse(str(tmp_path), spark).expire_compacted(
+        "problems"
+    ) == 0
+    assert _rows(wh3.read_appends("problems")) == current
