@@ -93,6 +93,9 @@ BENCH_QUERIES = [
     "text_quality",
     "text_fingerprint",
     "mm_decode_features",
+    # the end-to-end training-mix flagship (funnel -> dedup -> gate ->
+    # split -> mix -> chunk -> pack as one fused plan)
+    "corpus_assembly",
 ]
 
 

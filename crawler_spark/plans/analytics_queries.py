@@ -3080,8 +3080,14 @@ def q_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     key-hashed (never cartesian), the threshold/mix/quota tables are
     bounded-cardinality broadcasts, the splits are map-side expressions,
     and the only windows are partitioned by source (the parallel packing
-    unit).  Catalyst fuses the whole thing; nothing materializes between
-    stages."""
+    unit).  The three REUSED stage outputs (post-exact-dedup corpus, the
+    scored table, the sampled id set) are persisted: a multi-stage corpus
+    build must materialize its stage boundaries — lazily re-expanding each
+    upstream at every reuse multiplies the plan combinatorially (the
+    un-persisted plan audit counted 3.7k scans) and recomputes the dedup
+    joins per consumer.  A production run writes these boundaries to
+    warehouse tables; ``persist`` is the in-session expression of the same
+    cut."""
     from pyspark.sql import Window
 
     from crawler_spark.operators.assembly import (
@@ -3098,7 +3104,7 @@ def q_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id"
         )
     )
-    kept = c.join(dups, "doc_id", "left_anti")
+    kept = c.join(dups, "doc_id", "left_anti").persist()
     near_drop = (
         DD.ngram_jaccard_pairs(kept, k=3, min_jaccard=0.6, block_col="source")
         .select(F.col("b_id").alias("doc_id"))
@@ -3107,7 +3113,7 @@ def q_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniq = kept.join(near_drop, "doc_id", "left_anti")
     scored = hashed_linear_score(uniq.select("doc_id", "text")).join(
         uniq.select("doc_id", "source"), "doc_id"
-    )
+    ).persist()
     good = (
         calibrated_quality_gate(scored, by="source", pct=0.7)
         .filter(F.col("keep"))
@@ -3121,7 +3127,7 @@ def q_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__rn", F.row_number().over(w_rn))
         .filter(F.col("__rn") <= F.col("quota_docs"))
         .select("doc_id", "source")
-    )
+    ).persist()
     chunks = chunk_documents(
         sampled.join(c.select("doc_id", "text"), "doc_id"),
         chunk_tokens=32,
