@@ -170,7 +170,7 @@ def _synth_urls(spark, n0: int, n1: int, step: int, key_space: int,
         )
         hh = F.when(
             F.col("__h") == 0,
-            F.xxhash64(hostname, F.pmod(F.xxhash64(canon), F.lit(16))),
+            F.xxhash64(hostname, F.pmod(F.xxhash64(canon), F.lit(HOT_SALT))),
         ).otherwise(F.xxhash64(hostname))
         df = df.filter(F.pmod(hh, F.lit(n_shards)) == shard)
     return df.select("url")
@@ -207,17 +207,26 @@ def frontier_throughput(
 NUM_BUCKETS = int(os.environ.get("SPARK_GRAFT_BUCKETS", "128"))
 
 
+# Salt width for the hot host.  Sized to the bucket count, not a small
+# constant: with B=128 buckets a 50%-of-traffic host split 16 ways still
+# leaves each salted bucket ~4x the average (the r5 skew slice measured a
+# 1.29x wall penalty); 64 sub-streams flatten it to ~1.5x average.  The
+# engine rule is the same as operators.frontier.salt_hot_hosts with
+# max_salt sized to host share: salts ≈ B * host_share flattens fully.
+HOT_SALT = int(os.environ.get("SPARK_GRAFT_HOT_SALT", "64"))
+
+
 def _keyed(df):
     """(url_hash, host_hash) with hot-host salting (north_star: "frontier
-    is salted by host-hash to kill per-domain skew"): the hot host carries
-    ~10% of all traffic, so unsalted it fills one dequeue bucket with
-    10% + 90%/B of the rows -- a straggler task at every parallelism level.
-    Exactly like operators.frontier.salt_hot_hosts, its dequeue key becomes
-    (host, salt=url_hash%16): politeness/budget hold per salted sub-stream,
-    and salt is a pure function of url_hash so frontier and seen rows of
-    the same URL land in the same bucket."""
+    is salted by host-hash to kill per-domain skew"): a hot host fills one
+    dequeue bucket with its whole share of the rows -- a straggler task at
+    every parallelism level.  Exactly like operators.frontier.salt_hot_hosts,
+    its dequeue key becomes (host, salt=url_hash%HOT_SALT): politeness and
+    budget hold per salted sub-stream, and salt is a pure function of
+    url_hash so frontier and seen rows of the same URL land in the same
+    bucket."""
     salted = F.xxhash64(
-        F.col("host"), F.pmod(F.xxhash64("canonical_url"), F.lit(16))
+        F.col("host"), F.pmod(F.xxhash64("canonical_url"), F.lit(HOT_SALT))
     )
     plain = F.xxhash64("host")
     return df.select(

@@ -3109,7 +3109,7 @@ def q_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         DD.ngram_jaccard_pairs(kept, k=3, min_jaccard=0.6, block_col="source")
         .select(F.col("b_id").alias("doc_id"))
         .distinct()
-    )
+    ).persist()  # id set only — without this the shingle join re-runs per consumer of uniq
     uniq = kept.join(near_drop, "doc_id", "left_anti")
     scored = hashed_linear_score(uniq.select("doc_id", "text")).join(
         uniq.select("doc_id", "source"), "doc_id"

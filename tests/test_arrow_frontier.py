@@ -109,10 +109,12 @@ def test_dequeue_bloom_no_false_negatives(spark):
 def test_bench_salting_flattens_adversarial_hot_host(spark):
     """The bench's dequeue keying (bench._keyed — the salt_hot_hosts
     semantics on the measured hot path) must flatten a 50%-hot-host
-    frontier: with the hot host salted into 16 sub-streams over 128
-    buckets, no bucket may hold more than a few percent of all rows,
-    while the UNSALTED host hash parks ~half the input on one bucket.
-    This pins the skew slice bench.py reports (skew_slowdown ~1.0)."""
+    frontier: with the hot host salted into HOT_SALT (64) sub-streams over
+    128 buckets, no bucket may hold more than ~3x the uniform share of all
+    rows, while the UNSALTED host hash parks ~half the input on one bucket.
+    This pins the skew slice bench.py reports (skew_slowdown ~1.0; at salt
+    width 16 the r5 run still measured a 1.29x penalty — salts must scale
+    with bucket count x host share)."""
     import bench
     from crawler_spark.operators.arrow_frontier import canonicalize_stage
 
@@ -127,7 +129,7 @@ def test_bench_salting_flattens_adversarial_hot_host(spark):
         .groupBy("b").count().collect()
     )
     max_share = max(r["count"] for r in buckets) / n
-    assert max_share < 0.06, max_share  # ~50%/16 + background, with slack
+    assert max_share < 0.03, max_share  # ~50%/64 + background, with slack
 
     unsalted = (
         canon.select(F.pmod(F.xxhash64("host"), F.lit(128)).alias("b"))
