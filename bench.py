@@ -11,7 +11,10 @@ cluster here it is evidenced two ways on the same input:
   processes over salted-host shards, barrier-synchronized repeats) — each
   executor its own JVM + python workers, exactly like cluster executors;
   the host-bucketed store co-partitions so cross-executor exchange is nil
-  by design.
+  by design.  The two levels run ADJACENT within each pass in alternating
+  order, and the headline efficiency is the MEDIAN of the per-pass PAIRED
+  ratios — a pass's steal weather hits both terms of its ratio and
+  cancels (see BENCH/BASELINE.md, round-5 policy).
 - **thread pairs (diagnostics only)**: local[2]→local[8]→local[32] in one
   JVM — additionally measures the single shared JVM's Arrow-IPC ceiling,
   which a multi-executor deployment does not have.  Never promoted to the
@@ -32,7 +35,7 @@ queries() registry at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
 Env knobs:
   SPARK_GRAFT_SF_DIR        testdata dir        (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS          high parallelism    (default 32)
-  SPARK_GRAFT_FRONTIER_URLS frontier size       (default 12_000_000)
+  SPARK_GRAFT_FRONTIER_URLS frontier size       (default 16_000_000)
   SPARK_GRAFT_SCALING       0 to skip scaling levels (default 1)
   SPARK_GRAFT_BUCKETS       dequeue bucket count (default 128)
   SPARK_GRAFT_EXEC_CORES    cores per simulated executor (default 1)
@@ -665,6 +668,7 @@ def main() -> None:
     # alongside — they additionally measure one shared JVM's Arrow-IPC
     # ceiling, which a multi-executor deployment does not have.
     ex_levels: dict[str, dict] = {}
+    pass_effs: list[float] = []
     ex_counts = (1, 4) if DO_SCALING else ()
     base = None
     prep: dict = {}
@@ -695,7 +699,16 @@ def main() -> None:
             walls.setdefault(cores, []).extend(r.pop("all_walls_s"))
             if cores not in results or r["urls_per_s"] > results[cores]["urls_per_s"]:
                 results[cores] = r
-        for n_exec in ex_counts:
+        # The two executor levels run ADJACENT within each pass, and their
+        # order ALTERNATES across passes ((1,4), (4,1), (1,4)): the round-5
+        # first sample showed a steal phase ramping monotonically through
+        # the back half of a fixed-order schedule, which systematically
+        # lands on whichever level always runs last and biases the pooled
+        # ratio.  Pairing makes each pass a weather block; alternation
+        # cancels within-block drift across passes.  Still result-blind:
+        # the order depends only on the pass index, never on any wall.
+        pass_walls: dict[str, float] = {}
+        for n_exec in (ex_counts if p % 2 == 0 else tuple(reversed(ex_counts))):
             if n_exec == 1:
                 dirs, rows_list = [f"{base}/full"], [prep["full"]]
             else:
@@ -706,6 +719,7 @@ def main() -> None:
             # ratio, and best-of over equal repeats stays result-blind
             r = _executor_level(n_exec, EXEC_CORES, dirs, rows_list, repeats=2)
             key = str(n_exec)
+            pass_walls[key] = _median(r["rep_walls_s"])
             if key not in ex_levels:
                 ex_levels[key] = r
             else:
@@ -714,6 +728,12 @@ def main() -> None:
                 # (VERDICT-r4 #2), computed after the loop, never a best-of
                 ex_levels[key]["rep_walls_s"].extend(r["rep_walls_s"])
                 ex_levels[key]["shard_walls_s"].extend(r["shard_walls_s"])
+        if len(pass_walls) == 2:
+            # per-pass PAIRED ratio: both levels share this pass's weather
+            # window, so common slowdowns cancel in the ratio
+            pass_effs.append(
+                round(pass_walls["1"] / (4 * pass_walls["4"]), 3)
+            )
     if base is not None:
         shutil.rmtree(base, ignore_errors=True)
     for cores, r in results.items():
@@ -747,13 +767,21 @@ def main() -> None:
         # executors".  The single-JVM thread ratio above is a DIAGNOSTIC
         # ONLY (it additionally measures one shared JVM's Arrow-IPC
         # ceiling, which a multi-executor deployment does not have) and is
-        # never promoted to the headline, whatever its value.  Each level's
-        # statistic is the MEDIAN over the full locked schedule of repeat
-        # walls (6 per level), with a variance guard flagging steal-window
-        # contamination — never a best-of (r4's 2-of-4 gate flapping was
-        # best-of sampling noise).
-        scaling["efficiency"] = scaling["efficiency_1x_to_4x_executors"]
-        scaling["efficiency_basis"] = "executors_1x_to_4x_median"
+        # never promoted to the headline, whatever its value.  The headline
+        # statistic is the MEDIAN over the per-pass PAIRED ratios (each
+        # pass runs both levels adjacent in alternating order, so a pass's
+        # weather hits both terms of its ratio and cancels); the pooled
+        # per-level median ratio above is kept as a cross-check.  Both are
+        # variance-guarded and never a best-of (r4's 2-of-4 gate flapping
+        # was best-of sampling noise; r5 sample 1's monotonic 4×-level
+        # degradation was fixed-order drift bias).
+        if pass_effs:
+            scaling["per_pass_efficiency"] = pass_effs
+            scaling["efficiency"] = round(_median(pass_effs), 3)
+            scaling["efficiency_basis"] = "executors_1x_to_4x_paired_median"
+        else:
+            scaling["efficiency"] = scaling["efficiency_1x_to_4x_executors"]
+            scaling["efficiency_basis"] = "executors_1x_to_4x_median"
         scaling["variance_guard"] = {
             "max_spread": VARIANCE_SPREAD_MAX,
             "noisy_levels": sorted(
