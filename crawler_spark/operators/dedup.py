@@ -866,3 +866,102 @@ def duplicated_ngram_flags(
             (F.coalesce("n_dup_grams", F.lit(0)) > 0).alias("flagged"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level dedup (CCNet)
+# ---------------------------------------------------------------------------
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    para_words: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style paragraph-level deduplication (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data", §3.1 "Deduplication"): hash every paragraph, keep only the
+    FIRST corpus occurrence of each distinct paragraph, and rebuild each
+    document from its surviving paragraphs.  This is the pass that strips
+    boilerplate (nav bars, cookie banners, footers) repeated across pages
+    — duplicated *spans*, where document-level dedup sees distinct docs.
+
+    Paragraph boundary: fixed ``para_words``-word windows over the
+    whitespace token stream (the corpus is single-line text; on real crawl
+    output the split would be ``\\n`` and the rest of the plan is
+    unchanged).  First occurrence is the lexicographic min of
+    (doc_id, idx) over each paragraph hash — deterministic and
+    engine-independent.
+
+    Shape at 100 TB: paragraphs explode map-side; the first-occurrence
+    pass is ``groupBy(hash).agg(min(struct))`` — map-side combinable, so
+    a boilerplate paragraph repeated billions of times still contributes
+    one row per input partition to the exchange; the join back on the
+    hash is a shuffled hash join whose only skew risk (a hot boilerplate
+    hash) AQE's skew-join splitting handles; reassembly is one
+    ``groupBy(doc_id)``.  Three hash-partitioned shuffles total, no
+    sort-aggregates, URL/text strings cross an exchange only once
+    (the kept-paragraph reassembly).
+
+    Returns one row per input document:
+    (id, n_paras, n_dropped, text_clean) — ``text_clean`` is the
+    surviving paragraphs joined in original order ('' when every
+    paragraph of the doc occurred earlier somewhere else, i.e. the doc
+    is pure boilerplate/copy).
+    """
+    if para_words < 1:
+        raise ValueError(f"para_words must be >= 1, got {para_words}")
+    w = para_words
+    t = docs.select(id_col, F.split(F.col(text_col), r"\s+").alias("__w"))
+    # sequence(a, b) steps DOWNWARD when a > b — guard the empty-array case
+    # before building the window range (split never returns an empty array,
+    # but the guard keeps the plan safe for arbitrary upstream frames)
+    paras = (
+        t.filter(F.size("__w") >= 1)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, CAST(ceil(size(__w) / CAST({w} "
+                    f"AS DOUBLE)) AS INT) - 1), i -> struct(i AS idx, "
+                    f"array_join(slice(__w, i * {w} + 1, {w}), ' ') AS para))"
+                )
+            ).alias("__p"),
+        )
+        .select(
+            id_col,
+            F.col("__p.idx").cast("long").alias("idx"),
+            F.col("__p.para").alias("para"),
+        )
+        .withColumn("h", F.md5("para"))
+    )
+    firsts = paras.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col), F.col("idx"))).alias("__first")
+    )
+    joined = paras.join(firsts, "h").withColumn(
+        "__kept",
+        (F.col(id_col) == F.col(f"__first.{id_col}"))
+        & (F.col("idx") == F.col("__first.idx")),
+    )
+    return joined.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_paras"),
+        F.sum((~F.col("__kept")).cast("long")).cast("long").alias("n_dropped"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("__kept"),
+                                F.struct(F.col("idx"), F.col("para")),
+                            )
+                        )
+                    ),
+                    lambda x: x["para"],
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("text_clean"),
+    )

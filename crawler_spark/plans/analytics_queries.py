@@ -153,6 +153,56 @@ FROM corpus GROUP BY md5(text) HAVING count(*) > 1
 """
 
 
+def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet paragraph-level dedup (operators/dedup.paragraph_dedup): keep
+    only the first corpus occurrence of every 8-word paragraph and rebuild
+    each document.  The planted exact copies (doc_id+2000000) come back
+    fully stripped (text_clean = ''), and the tiny synthetic vocabulary
+    makes cross-document paragraph collisions common — the operator does
+    real span-level work on this corpus, not just copy removal."""
+    out = DD.paragraph_dedup(_corpus(spark, sf_dir), para_words=8)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_paras").cast("long").alias("n_paras"),
+        F.col("n_dropped").cast("long").alias("n_dropped"),
+        "text_clean",
+    )
+
+
+SQL_DEDUP_PARAGRAPH = f"""
+WITH {CORPUS_SQL.strip()},
+wordsv AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM corpus
+),
+paras0 AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(0, CAST(ceil(len(w) / 8.0) AS BIGINT) - 1),
+           i -> struct_pack(idx := i,
+                            para := array_to_string(
+                              list_slice(w, i * 8 + 1, i * 8 + 8), ' ')))) AS s
+  FROM wordsv WHERE len(w) >= 1
+),
+p AS (
+  SELECT doc_id, CAST(s.idx AS BIGINT) AS idx, s.para AS para,
+         md5(s.para) AS h
+  FROM paras0
+),
+firsts AS (
+  SELECT h, min(struct_pack(d := doc_id, i := idx)) AS f FROM p GROUP BY h
+)
+SELECT CAST(p.doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(sum(CASE WHEN p.doc_id = (f).d AND p.idx = (f).i
+                     THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+       coalesce(string_agg(CASE WHEN p.doc_id = (f).d AND p.idx = (f).i
+                                THEN p.para END, ' ' ORDER BY p.idx),
+                '') AS text_clean
+FROM p JOIN firsts USING (h)
+GROUP BY p.doc_id
+"""
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = DD.minhash_signatures(_corpus(spark, sf_dir), num_perm=16)
     out = DD.lsh_candidate_pairs(sig, num_perm=16, bands=4, min_est_jaccard=0.5)
@@ -3440,6 +3490,7 @@ FROM per, tot
 
 ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_paragraph": (q_dedup_paragraph, SQL_DEDUP_PARAGRAPH),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
     "dedup_minhash_incremental": (
         q_dedup_minhash_incremental,

@@ -49,6 +49,60 @@ def test_exact_dedup_recovers_planted_copies(spark):
             assert r.keep_doc_id + 2000000 in r.doc_ids
 
 
+def test_paragraph_dedup_matches_python_reference(spark):
+    """paragraph_dedup == a literal Python first-occurrence pass: split each
+    doc into 3-word windows, keep a window only at its lexicographically
+    first (doc_id, idx) corpus occurrence, rebuild in order."""
+    from crawler_spark.operators.dedup import paragraph_dedup
+
+    import pytest as _pytest
+
+    docs = [
+        (1, "a b c d e f g"),          # 3 paras: 'a b c' 'd e f' 'g'
+        (2, "a b c x y z"),            # 'a b c' duplicates doc 1 idx 0
+        (3, "a b c d e f g"),          # exact copy of doc 1 → all dropped
+        (4, "d e f d e f"),            # self-dup: idx1 dups idx0? no —
+        #                                'd e f' first seen at doc 1 idx 1
+        (5, "q"),                      # single short para, unique
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in paragraph_dedup(df, para_words=3).collect()
+    }
+
+    # python reference
+    W = 3
+    paras = []
+    for did, text in docs:
+        w = text.split()
+        for i in range(0, (len(w) + W - 1) // W):
+            paras.append((did, i, " ".join(w[i * W : i * W + W])))
+    first = {}
+    for did, i, p in sorted(paras, key=lambda t: (t[0], t[1])):
+        first.setdefault(p, (did, i))
+    expect = {}
+    for did, _ in docs:
+        mine = [(i, p) for d, i, p in paras if d == did]
+        kept = [p for i, p in mine if first[p] == (did, i)]
+        expect[did] = (len(mine), len(mine) - len(kept), " ".join(kept))
+
+    assert set(out) == set(expect)
+    for did, (n_paras, n_dropped, clean) in expect.items():
+        r = out[did]
+        assert (r.n_paras, r.n_dropped, r.text_clean) == (
+            n_paras,
+            n_dropped,
+            clean,
+        ), f"doc {did}"
+    # the hand-checkable anchors the reference encodes
+    assert out[3].text_clean == "" and out[3].n_dropped == 3
+    assert out[2].text_clean == "x y z"
+    assert out[4].n_dropped == 2  # both 'd e f' windows seen at doc 1
+    with _pytest.raises(ValueError):
+        paragraph_dedup(df, para_words=0)
+
+
 def test_minhash_est_tracks_exact_jaccard(spark):
     from crawler_spark.operators.dedup import (
         lsh_candidate_pairs,
