@@ -171,6 +171,56 @@ def calibrated_quality_gate(
     )
 
 
+def unigram_lm_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet LM-quality scoring (Wenzek et al. 2020 §3.3 "Language model
+    filtering"): train a unigram LM on the corpus itself, score every
+    document by its mean token negative-log-likelihood.  CCNet scores with
+    a pretrained KenLM; the pipeline shape — token logprob lookup → per-doc
+    mean NLL → downstream perplexity buckets — is identical, and a real
+    deployment swaps the in-corpus counts table for loaded KenLM unigram
+    weights without touching the plan.
+
+    Cross-engine exactness: each token's logprob ln(cnt/N) is computed
+    ONCE per distinct vocabulary entry (one division + one ``ln`` + one
+    ``round(x·10⁴)`` — the same three IEEE ops in any engine, the tfidf
+    precedent) and materialized as a scaled BIGINT; per-document
+    aggregation is then pure integer arithmetic (order-free sums, ``div``
+    mean), so no float ever enters a many-term engine-ordered sum.
+
+    Shape at 100 TB: the vocabulary table is bounded (≪ corpus) and
+    broadcast back onto the token stream; the corpus shuffles once, as
+    narrow (doc_id, logp_e4) longs, into the per-doc hash aggregate with
+    map-side partials.  Returns (id, n_tokens, nll_sum_e4, mean_nll_e4) —
+    mean_nll_e4 is mean token NLL in nats ×10⁴ (lower = more fluent under
+    the corpus LM; ppl = exp(mean_nll_e4/10⁴)).
+    """
+    toks = docs.select(
+        id_col,
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("token"),
+    ).filter(F.col("token") != "")
+    cnts = toks.groupBy("token").agg(F.count("*").cast("long").alias("cnt"))
+    total = cnts.agg(F.sum("cnt").cast("double").alias("t"))
+    lp = cnts.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.round(F.log(F.col("cnt").cast("double") / F.col("t")) * 10000, 0)
+        .cast("long")
+        .alias("logp_e4"),
+    )
+    per = toks.join(F.broadcast(lp), "token").groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        (-F.sum("logp_e4")).cast("long").alias("nll_sum_e4"),
+    )
+    return per.withColumn(
+        "mean_nll_e4", F.expr("CAST(nll_sum_e4 div n_tokens AS BIGINT)")
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -3462,6 +3462,70 @@ FROM j JOIN thr ON j.source = thr.source
 """
 
 
+def q_quality_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity buckets (Wenzek et al. 2020 §3.3): score every doc
+    by mean token NLL under an in-corpus unigram LM
+    (assembly.unigram_lm_scores — scaled-integer logprobs, so no
+    engine-ordered float sum exists), then split the corpus into the
+    head / middle / tail thirds CCNet ships as quality tiers.  The two
+    global cutoffs are type-7 percentiles over the integer scores computed
+    from identical interpolation arithmetic in both engines; they live in
+    a one-row broadcast frame, so bucketing adds zero shuffles."""
+    from crawler_spark.operators.assembly import unigram_lm_scores
+
+    # scored feeds both the percentile cutoffs and the output projection —
+    # persist the narrow (doc_id, 3×long) frame so the token pipeline
+    # (explode + LM train + per-doc aggregate) runs once, not per consumer
+    scored = unigram_lm_scores(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ).persist()
+    cuts = scored.agg(
+        F.expr("percentile(mean_nll_e4, 0.33)").alias("c33"),
+        F.expr("percentile(mean_nll_e4, 0.67)").alias("c67"),
+    )
+    return scored.crossJoin(F.broadcast(cuts)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tokens",
+        "nll_sum_e4",
+        "mean_nll_e4",
+        F.when(F.col("mean_nll_e4") <= F.col("c33"), F.lit("head"))
+        .when(F.col("mean_nll_e4") <= F.col("c67"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )
+
+
+SQL_QUALITY_PERPLEXITY = """
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+  FROM documents),
+flt AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+cnts AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM flt GROUP BY token),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM cnts),
+lp AS (
+  SELECT token,
+         CAST(round(ln(CAST(cnt AS DOUBLE) / t) * 10000, 0) AS BIGINT)
+           AS logp_e4
+  FROM cnts CROSS JOIN tot),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(-sum(logp_e4) AS BIGINT) AS nll_sum_e4
+  FROM flt JOIN lp USING (token) GROUP BY doc_id),
+scored AS (
+  SELECT *, CAST(nll_sum_e4 // n_tokens AS BIGINT) AS mean_nll_e4 FROM per),
+cuts AS (
+  SELECT quantile_cont(CAST(mean_nll_e4 AS DOUBLE), 0.33) AS c33,
+         quantile_cont(CAST(mean_nll_e4 AS DOUBLE), 0.67) AS c67
+  FROM scored)
+SELECT doc_id, n_tokens, nll_sum_e4, mean_nll_e4,
+       CASE WHEN mean_nll_e4 <= c33 THEN 'head'
+            WHEN mean_nll_e4 <= c67 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM scored CROSS JOIN cuts
+"""
+
+
 def q_sample_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-½ source mixing (the Pile/LLaMA sampling-weights table):
     w(s)=floor(sqrt(n_docs(s))), weight_e6 and a 1000-doc quota by
@@ -3555,6 +3619,7 @@ ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "split_holdout": (q_split_holdout, SQL_SPLIT_HOLDOUT),
     "text_quality_model": (q_text_quality_model, SQL_TEXT_QUALITY_MODEL),
     "quality_calibrated": (q_quality_calibrated, SQL_QUALITY_CALIBRATED),
+    "quality_perplexity": (q_quality_perplexity, SQL_QUALITY_PERPLEXITY),
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "filter_funnel": (q_filter_funnel, SQL_FILTER_FUNNEL),
     "image_filter_funnel": (q_image_filter_funnel, SQL_IMAGE_FILTER_FUNNEL),

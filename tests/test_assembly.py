@@ -162,3 +162,40 @@ def test_chunk_documents_matches_python_reference_on_random_lengths(spark):
         assert sorted(got[i]) == want, (i, n)
         # full coverage: last window reaches the final token
         assert want[-1][1] + want[-1][2] == n
+
+
+def test_unigram_lm_scores_match_python_reference(spark):
+    """unigram_lm_scores == a literal Python unigram LM: per-token
+    logp = round(ln(cnt/N)*1e4) as an integer, per-doc exact integer sums,
+    integer-div mean.  Repeated tokens weigh once per occurrence; a doc of
+    rare tokens scores a strictly higher mean NLL than one of common
+    tokens."""
+    import math
+
+    from crawler_spark.operators.assembly import unigram_lm_scores
+
+    docs = [
+        (1, "the the the cat"),
+        (2, "the cat sat"),
+        (3, "zyx qwv"),           # rare tokens → tail-ish score
+        (4, "The THE the"),       # lowercased → all 'the'
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r.doc_id: r for r in unigram_lm_scores(df).collect()}
+
+    toks = {d: t.lower().split() for d, t in docs}
+    cnt: dict[str, int] = {}
+    for ts in toks.values():
+        for t in ts:
+            cnt[t] = cnt.get(t, 0) + 1
+    n = sum(cnt.values())
+    lp = {t: round(math.log(c / n) * 10000) for t, c in cnt.items()}
+    for d, ts in toks.items():
+        nll = -sum(lp[t] for t in ts)
+        assert (out[d].n_tokens, out[d].nll_sum_e4, out[d].mean_nll_e4) == (
+            len(ts),
+            nll,
+            nll // len(ts),
+        ), d
+    # ordering sanity: the all-common doc beats the all-rare doc
+    assert out[4].mean_nll_e4 < out[3].mean_nll_e4
