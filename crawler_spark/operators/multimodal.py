@@ -626,6 +626,87 @@ def caption_negatives(
     )
 
 
+def caption_embedding(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "caption",
+    dims: int = 16,
+) -> DataFrame:
+    """Hashed ±1 bag-of-words caption embedding — the deterministic
+    stand-in for the CLIP text encoder (same stub contract as the codec
+    stubs in this module: the encoder is fake, the Spark-side plumbing —
+    tokenize → embed → aggregate — is the real shape a CLIP-scoring
+    pipeline runs).  Dim ``d`` of a token's contribution is ±1 from bit
+    ``d`` of the token's 60-bit md5 prefix; the caption embedding is the
+    integer SUM over its tokens, so the vector is integer-exact in any
+    engine (no float enters until a downstream cosine).
+
+    Shape: explode → ONE hash aggregate keyed by ``key_col`` with ``dims``
+    map-side-combinable sum partials; output (key, array<long> emb).
+    Rows whose text has no tokens produce no output row (callers join
+    inner or left as their semantics require).
+    """
+    if not 1 <= dims <= 60:
+        raise ValueError(f"dims must be in [1, 60], got {dims}")
+    toks = df.select(
+        key_col,
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("__tok"),
+    ).filter(F.col("__tok") != "")
+    h = F.conv(F.substring(F.md5("__tok"), 1, 15), 16, 10).cast("long")
+    sums = [
+        F.sum(
+            F.expr(f"CASE WHEN (shiftright(__h, {d}) & 1) = 1 "
+                   "THEN 1 ELSE -1 END")
+        )
+        .cast("long")
+        .alias(f"__s{d}")
+        for d in range(dims)
+    ]
+    agg = toks.withColumn("__h", h).groupBy(key_col).agg(*sums)
+    return agg.select(
+        key_col,
+        F.array(*[F.col(f"__s{d}") for d in range(dims)]).alias("emb"),
+    )
+
+
+def alignment_gate(
+    pairs: DataFrame,
+    img_col: str = "img_emb",
+    txt_col: str = "txt_emb",
+    threshold_e4: int = 2800,
+) -> DataFrame:
+    """LAION-style CLIP-score gate (Schuhmann et al. 2021 kept pairs with
+    CLIP cosine ≥ 0.28): score every (image embedding, caption embedding)
+    row by cosine similarity and gate at ``threshold_e4``/10⁴.
+
+    Exactness: dot products and squared norms are integer aggregates over
+    the integer embeddings (order-free); the only float ops are two
+    correctly-rounded sqrts, one multiply, one divide and the ×10⁴
+    half-away-from-zero round — a fixed single-op chain, identical in any
+    engine.  Zero-norm vectors (a caption whose token signs cancel) score
+    0 rather than dividing by zero.  Pure map stage — no shuffle.
+
+    Returns the input plus (alignment_e4 BIGINT, keep BOOLEAN).
+    """
+    dot = (
+        f"aggregate(zip_with({img_col}, {txt_col}, (x, y) -> x * y), "
+        "0L, (acc, v) -> acc + v)"
+    )
+    sq = "aggregate(zip_with({c}, {c}, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+    na, nb = sq.format(c=img_col), sq.format(c=txt_col)
+    cos = (
+        f"CASE WHEN {na} = 0 OR {nb} = 0 THEN CAST(0 AS DOUBLE) "
+        f"ELSE CAST({dot} AS DOUBLE) / (sqrt(CAST({na} AS DOUBLE)) * "
+        f"sqrt(CAST({nb} AS DOUBLE))) END"
+    )
+    return pairs.withColumn(
+        "alignment_e4",
+        F.expr(f"CAST(round(({cos}) * 10000, 0) AS BIGINT)"),
+    ).withColumn("keep", F.col("alignment_e4") >= F.lit(threshold_e4))
+
+
 def augmentation_params(
     images: DataFrame,
     crop_pct: int = 80,

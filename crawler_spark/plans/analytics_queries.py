@@ -3462,6 +3462,108 @@ FROM j JOIN thr ON j.source = thr.source
 """
 
 
+def q_image_text_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-score alignment gate (LAION-style, keep at cosine ≥ 0.28) over
+    deterministic stand-in encoders: the caption embedding is the hashed
+    ±1 bag-of-words of multimodal.caption_embedding, and the planted pairs
+    make the gate's behavior checkable — every image's aligned row reuses
+    its own caption's embedding as the image embedding (cosine ≈ 1), and
+    every 9th image also emits a '-m' row whose image embedding comes from
+    the NEXT document's caption (misaligned: cosine = whatever the two
+    captions' token bags share).  Real deployments swap the stand-in for
+    CLIP towers; the plan — embed once, two narrow (doc, emb) joins, a
+    map-side cosine — is the production shape."""
+    d = _t(spark, sf_dir, "documents")
+    caps = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.substring("text", 1, 120).alias("caption"),
+    )
+    tvec = MM.caption_embedding(
+        caps, key_col="doc_id", text_col="caption", dims=16
+    )
+    aligned = caps.select(
+        F.concat(F.lit("img-"), F.col("doc_id").cast("string")).alias(
+            "image_id"
+        ),
+        F.col("doc_id").alias("txt_doc"),
+        F.col("doc_id").alias("img_doc"),
+    )
+    mis = caps.filter(F.col("doc_id") % 9 == 0).select(
+        F.concat(
+            F.lit("img-"), F.col("doc_id").cast("string"), F.lit("-m")
+        ).alias("image_id"),
+        F.col("doc_id").alias("txt_doc"),
+        (F.col("doc_id") + 1).alias("img_doc"),
+    )
+    pairs = aligned.unionByName(mis)
+    t = tvec.select(
+        F.col("doc_id").alias("txt_doc"), F.col("emb").alias("txt_emb")
+    )
+    i = tvec.select(
+        F.col("doc_id").alias("img_doc"), F.col("emb").alias("img_emb")
+    )
+    out = MM.alignment_gate(
+        pairs.join(t, "txt_doc").join(i, "img_doc"), threshold_e4=2800
+    )
+    return out.select("image_id", "alignment_e4", "keep")
+
+
+def _alignment_sql(dims: int = 16, threshold_e4: int = 2800) -> str:
+    sums = ",\n         ".join(
+        f"CAST(sum(CASE WHEN (hh >> {d}) & 1 = 1 THEN 1 ELSE -1 END) "
+        f"AS BIGINT) AS s{d}"
+        for d in range(dims)
+    )
+    arr = ", ".join(f"s{d}" for d in range(dims))
+    return f"""
+WITH caps AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, substr(text, 1, 120) AS caption
+  FROM documents),
+tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(caption)), '\\s+')) AS token
+  FROM caps),
+flt AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+hs AS (
+  SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS hh FROM flt),
+tvec AS (
+  SELECT doc_id,
+         {sums}
+  FROM hs GROUP BY doc_id),
+emb AS (SELECT doc_id, [{arr}] AS emb FROM tvec),
+pairs AS (
+  SELECT 'img-' || CAST(doc_id AS VARCHAR) AS image_id,
+         doc_id AS txt_doc, doc_id AS img_doc
+  FROM caps
+  UNION ALL
+  SELECT 'img-' || CAST(doc_id AS VARCHAR) || '-m' AS image_id,
+         doc_id AS txt_doc, doc_id + 1 AS img_doc
+  FROM caps WHERE doc_id % 9 = 0),
+j AS (
+  SELECT p.image_id, t.emb AS txt_emb, i.emb AS img_emb
+  FROM pairs p
+  JOIN emb t ON p.txt_doc = t.doc_id
+  JOIN emb i ON p.img_doc = i.doc_id),
+scored AS (
+  SELECT image_id,
+         CASE WHEN list_dot_product(img_emb, img_emb) = 0
+                OR list_dot_product(txt_emb, txt_emb) = 0
+              THEN CAST(0 AS DOUBLE)
+              ELSE list_dot_product(img_emb, txt_emb) /
+                   (sqrt(list_dot_product(img_emb, img_emb)) *
+                    sqrt(list_dot_product(txt_emb, txt_emb)))
+         END AS cos
+  FROM j)
+SELECT image_id,
+       CAST(round(cos * 10000, 0) AS BIGINT) AS alignment_e4,
+       (CAST(round(cos * 10000, 0) AS BIGINT) >= {threshold_e4}) AS keep
+FROM scored
+"""
+
+
+SQL_IMAGE_TEXT_ALIGNMENT = _alignment_sql()
+
+
 def q_quality_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet perplexity buckets (Wenzek et al. 2020 §3.3): score every doc
     by mean token NLL under an in-corpus unigram LM
@@ -3613,6 +3715,10 @@ ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "image_augmentation_params": (
         q_image_augmentation_params,
         SQL_IMAGE_AUGMENTATION_PARAMS,
+    ),
+    "image_text_alignment": (
+        q_image_text_alignment,
+        SQL_IMAGE_TEXT_ALIGNMENT,
     ),
     "pack_image_shards": (q_pack_image_shards, SQL_PACK_IMAGE_SHARDS),
     "sample_source_mix": (q_sample_source_mix, SQL_SAMPLE_SOURCE_MIX),

@@ -1606,3 +1606,52 @@ def test_link_pagerank_plan_has_no_global_window(spark):
     assert a["global_window"] == 0
     assert "Exchange SinglePartition" not in plan
     assert "Window" not in plan
+
+
+def test_caption_embedding_and_alignment_gate(spark):
+    """caption_embedding replays a Python ±1 hashed bag-of-words; the
+    alignment gate passes self-pairs at cosine 1.0 and scores pairs by the
+    real cosine of the integer embeddings; zero-norm inputs score 0."""
+    import hashlib
+    import math
+
+    from crawler_spark.operators.multimodal import (
+        alignment_gate,
+        caption_embedding,
+    )
+
+    rows = [(1, "red cat on mat"), (2, "red cat on mat rug"), (3, "zq")]
+    df = spark.createDataFrame(rows, ["doc_id", "caption"])
+    emb = {
+        r.doc_id: list(r.emb)
+        for r in caption_embedding(df, dims=16).collect()
+    }
+
+    def py_emb(text):
+        v = [0] * 16
+        for tok in text.lower().split():
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+            for d in range(16):
+                v[d] += 1 if (h >> d) & 1 else -1
+        return v
+
+    for did, cap in rows:
+        assert emb[did] == py_emb(cap), did
+
+    pairs = spark.createDataFrame(
+        [
+            ("self", emb[1], emb[1]),
+            ("near", emb[1], emb[2]),
+            ("zero", [0] * 16, emb[1]),
+        ],
+        "pair_id string, img_emb array<long>, txt_emb array<long>",
+    )
+    got = {r.pair_id: r for r in alignment_gate(pairs).collect()}
+    assert got["self"].alignment_e4 == 10000 and got["self"].keep
+    dot = sum(a * b for a, b in zip(emb[1], emb[2]))
+    na = math.sqrt(sum(a * a for a in emb[1]))
+    nb = math.sqrt(sum(b * b for b in emb[2]))
+    assert got["near"].alignment_e4 == round(dot / (na * nb) * 10000)
+    assert got["zero"].alignment_e4 == 0 and not got["zero"].keep
+    with pytest.raises(ValueError):
+        caption_embedding(df, dims=61)
