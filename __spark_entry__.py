@@ -47,27 +47,28 @@ DRIVER_CHECK_WINDOW = 50
 # ROTATION_AS_OF >= #recorded - 1, so the rotation can lag recorded history
 # by at most the one in-flight grading round — it can never be pinned stale.
 ROTATION_AS_OF = 4
-# Round-5 rotation.  90 registered = 50 window + 40 tail.  The window must
+# Round-5 rotation.  91 registered = 50 window + 41 tail.  The window must
 # hold every query whose ONLY green driver round is r4 (29 rows — they need
 # a second green before they are defer-eligible) plus the brand-new
-# corpus_assembly, dedup_paragraph, quality_perplexity and
-# image_text_alignment, leaving 17 window slots for returning r4-deferred
-# rows.  The tail therefore splits three ways, all within the K=2
-# staleness bound (as of ROTATION_AS_OF) pinned by
+# corpus_assembly, dedup_paragraph, quality_perplexity,
+# image_text_alignment and sample_dsir, leaving 16 window slots for
+# returning r4-deferred rows.  The tail therefore splits three ways, all
+# within the K=2 staleness bound (as of ROTATION_AS_OF) pinned by
 # tests/test_entry.py::test_deferred_staleness_bounded:
 #  - 21 rows checked green in the r4 window (staleness 1),
 #  - 16 triple-green (r1+r2+r3) rows re-deferred from the r4 tail
 #    (staleness 2 — the bound; they MUST rotate back next round), and
-#  - frontier_generation_subpart (green r2+r3), s7_listing_expand and
-#    p1_url_validity (both green r1+r2+r3), deferred late in the round to
-#    make room for the three new pipeline queries; their semantics stay
-#    pinned every round by tests/test_deferred_parity.py (and the flagship
-#    frontier_generation shares the subpart's operator stack).
-# The other 17 r4-tail rows return to the window for re-verification.
+#  - frontier_generation_subpart (green r2+r3), s7_listing_expand,
+#    p1_url_validity and p4_p6_link_guards (green r1+r2+r3), deferred late
+#    in the round to make room for the four new pipeline queries; their
+#    semantics stay pinned every round by tests/test_deferred_parity.py
+#    (and the flagship frontier_generation shares the subpart's stack).
+# The other 16 r4-tail rows return to the window for re-verification.
 DEFER_TO_TAIL = [
     "frontier_generation_subpart",
     "s7_listing_expand",
     "p1_url_validity",
+    "p4_p6_link_guards",
     # green in r4 (deferred with staleness 1)
     "frontier_generation",
     "j1_seen_antijoin",

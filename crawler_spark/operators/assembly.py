@@ -221,6 +221,80 @@ def unigram_lm_scores(
     )
 
 
+def dsir_importance(
+    docs: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): weight every raw document
+    by how much more likely its tokens are under a TARGET-domain LM than
+    under the raw-corpus LM — log w(x) = Σ_tokens [ln p_target(t) −
+    ln p_raw(t)] — then keep the highest-importance documents.  DSIR uses
+    hashed n-gram LMs; this is the n=1 instance with the same estimator
+    shape (swap the counts CTE for hashed n-grams to raise n — the plan is
+    unchanged).
+
+    Both LMs are add-one smoothed over the RAW-corpus vocabulary (a token
+    absent from the raw corpus cannot occur in a scored document, so the
+    raw vocabulary is the whole join domain), which gives target-unseen
+    tokens a finite penalty instead of −∞ — the weight is defined for
+    every document.  Cross-engine exactness follows the
+    unigram_lm_scores recipe: each distinct token's log-ratio is
+    materialized once as a scaled BIGINT (two ln + one subtraction on
+    doubles — fixed op chain), per-document aggregation is pure integer
+    arithmetic.
+
+    Shape at 100 TB: two bounded vocabulary aggregates (map-side
+    combinable), a broadcast token→ratio table onto the token stream, one
+    narrow (id, long) per-doc hash aggregate.  Returns
+    (id, n_tokens, logw_e4) — logw_e4 > 0 means "more target-like than the
+    raw corpus"; callers gate at a percentile (calibrated_quality_gate) or
+    top-k sample.
+    """
+    def _toks(df: DataFrame) -> DataFrame:
+        return df.select(
+            id_col,
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("token"),
+        ).filter(F.col("token") != "")
+
+    raw_t = _toks(docs)
+    cnt_raw = raw_t.groupBy("token").agg(
+        F.count("*").cast("long").alias("c_raw")
+    )
+    cnt_tgt = (
+        _toks(target)
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("c_tgt"))
+    )
+    vocab = cnt_raw.join(cnt_tgt, "token", "left").na.fill({"c_tgt": 0})
+    totals = vocab.agg(
+        F.sum("c_raw").cast("double").alias("n_raw"),
+        F.sum("c_tgt").cast("double").alias("n_tgt"),
+        F.count("*").cast("double").alias("v"),
+    )
+    ratio = vocab.crossJoin(F.broadcast(totals)).select(
+        "token",
+        F.round(
+            (
+                F.log((F.col("c_tgt").cast("double") + 1.0) / (F.col("n_tgt") + F.col("v")))
+                - F.log((F.col("c_raw").cast("double") + 1.0) / (F.col("n_raw") + F.col("v")))
+            )
+            * 10000,
+            0,
+        )
+        .cast("long")
+        .alias("logr_e4"),
+    )
+    return raw_t.join(F.broadcast(ratio), "token").groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("logr_e4").cast("long").alias("logw_e4"),
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -3628,6 +3628,68 @@ FROM scored CROSS JOIN cuts
 """
 
 
+def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (assembly.dsir_importance): docs from source
+    'src0' act as the target domain; every document is weighted by the
+    unigram log-likelihood ratio target-vs-raw (add-one smoothed over the
+    union vocabulary, scaled-BIGINT per-token ratios so the per-doc sum is
+    exact integer arithmetic) and the top-20% by importance is kept via
+    the same broadcast type-7 percentile idiom the quality gates use.
+    scored feeds the cutoff and the projection — persisted, one token
+    pipeline."""
+    from crawler_spark.operators.assembly import dsir_importance
+
+    d = _t(spark, sf_dir, "documents")
+    raw = d.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    tgt = d.filter(F.col("source") == "src0").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    scored = dsir_importance(raw, tgt).persist()
+    cut = scored.agg(F.expr("percentile(logw_e4, 0.8)").alias("c80"))
+    return scored.crossJoin(F.broadcast(cut)).select(
+        "doc_id",
+        "n_tokens",
+        "logw_e4",
+        (F.col("logw_e4") >= F.col("c80")).alias("keep"),
+    )
+
+
+SQL_SAMPLE_DSIR = """
+WITH tokr AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+  FROM documents),
+fr AS (SELECT doc_id, token FROM tokr WHERE token <> ''),
+ft AS (
+  SELECT f.doc_id, f.token
+  FROM fr f JOIN documents d ON f.doc_id = CAST(d.doc_id AS BIGINT)
+  WHERE d.source = 'src0'),
+craw AS (SELECT token, CAST(count(*) AS BIGINT) AS c_raw FROM fr GROUP BY token),
+ctgt AS (SELECT token, CAST(count(*) AS BIGINT) AS c_tgt FROM ft GROUP BY token),
+voc AS (
+  SELECT c.token, c.c_raw, coalesce(t.c_tgt, 0) AS c_tgt
+  FROM craw c LEFT JOIN ctgt t USING (token)),
+tot AS (
+  SELECT CAST(sum(c_raw) AS DOUBLE) AS n_raw,
+         CAST(sum(c_tgt) AS DOUBLE) AS n_tgt,
+         CAST(count(*) AS DOUBLE) AS v
+  FROM voc),
+ratio AS (
+  SELECT token,
+         CAST(round((ln((CAST(c_tgt AS DOUBLE) + 1.0) / (n_tgt + v)) -
+                     ln((CAST(c_raw AS DOUBLE) + 1.0) / (n_raw + v)))
+                    * 10000, 0) AS BIGINT) AS logr_e4
+  FROM voc CROSS JOIN tot),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(logr_e4) AS BIGINT) AS logw_e4
+  FROM fr JOIN ratio USING (token) GROUP BY doc_id),
+cut AS (SELECT quantile_cont(CAST(logw_e4 AS DOUBLE), 0.8) AS c80 FROM per)
+SELECT doc_id, n_tokens, logw_e4, (logw_e4 >= c80) AS keep
+FROM per CROSS JOIN cut
+"""
+
+
 def q_sample_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-½ source mixing (the Pile/LLaMA sampling-weights table):
     w(s)=floor(sqrt(n_docs(s))), weight_e6 and a 1000-doc quota by
@@ -3722,6 +3784,7 @@ ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "pack_image_shards": (q_pack_image_shards, SQL_PACK_IMAGE_SHARDS),
     "sample_source_mix": (q_sample_source_mix, SQL_SAMPLE_SOURCE_MIX),
+    "sample_dsir": (q_sample_dsir, SQL_SAMPLE_DSIR),
     "split_holdout": (q_split_holdout, SQL_SPLIT_HOLDOUT),
     "text_quality_model": (q_text_quality_model, SQL_TEXT_QUALITY_MODEL),
     "quality_calibrated": (q_quality_calibrated, SQL_QUALITY_CALIBRATED),

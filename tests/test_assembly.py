@@ -199,3 +199,54 @@ def test_unigram_lm_scores_match_python_reference(spark):
         ), d
     # ordering sanity: the all-common doc beats the all-rare doc
     assert out[4].mean_nll_e4 < out[3].mean_nll_e4
+
+
+def test_dsir_importance_matches_python_reference(spark):
+    """dsir_importance == a literal Python add-one-smoothed unigram
+    log-likelihood-ratio pass; docs made of target-domain tokens weigh
+    strictly higher than off-domain docs."""
+    import math
+
+    from crawler_spark.operators.assembly import dsir_importance
+
+    raw = [
+        (1, "alpha beta alpha"),
+        (2, "gamma delta gamma delta"),
+        (3, "alpha alpha alpha"),
+    ]
+    tgt = [(10, "alpha beta"), (11, "alpha alpha beta")]
+    raw_df = spark.createDataFrame(raw, ["doc_id", "text"])
+    tgt_df = spark.createDataFrame(tgt, ["doc_id", "text"])
+    out = {r.doc_id: r for r in dsir_importance(raw_df, tgt_df).collect()}
+
+    c_raw: dict[str, int] = {}
+    c_tgt: dict[str, int] = {}
+    for _, t in raw:
+        for tok in t.split():
+            c_raw[tok] = c_raw.get(tok, 0) + 1
+    for _, t in tgt:
+        for tok in t.split():
+            c_tgt[tok] = c_tgt.get(tok, 0) + 1
+    # vocabulary = raw-side tokens (the join domain), target counts mapped in
+    n_raw = sum(c_raw.values())
+    n_tgt = sum(c_tgt.get(t, 0) for t in c_raw)
+    v = len(c_raw)
+    lr = {
+        t: round(
+            (
+                math.log((c_tgt.get(t, 0) + 1) / (n_tgt + v))
+                - math.log((c + 1) / (n_raw + v))
+            )
+            * 10000
+        )
+        for t, c in c_raw.items()
+    }
+    for did, text in raw:
+        toks = text.split()
+        assert (out[did].n_tokens, out[did].logw_e4) == (
+            len(toks),
+            sum(lr[t] for t in toks),
+        ), did
+    # alpha/beta are target-like; gamma/delta are not
+    assert out[3].logw_e4 > 0 > out[2].logw_e4
+    assert out[1].logw_e4 > out[2].logw_e4
