@@ -142,6 +142,92 @@ def source_mix_weights(
     )
 
 
+def unimax_allocation(
+    docs: DataFrame,
+    lang_col: str = "lang",
+    budget: int = 800,
+    max_epochs: int = 2,
+) -> DataFrame:
+    """UniMax language sampling (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): spread a total document ``budget`` as uniformly as
+    possible across languages, capping every language at
+    ``max_epochs`` x its corpus size — the epoch-bounded waterfilling that
+    replaces temperature sampling (cf. source_mix_weights) when repeating
+    low-resource data too often hurts.
+
+    Closed-form waterfilling instead of the paper's greedy loop: with
+    languages sorted by cap ascending, language i is budget-constrained
+    ("takes its full cap") iff cap_i * (L - i + 1) < budget - capsum_{i-1}
+    — the standard exchange argument makes the constrained set a prefix of
+    the sort order, so one pass of prefix sums decides every language.
+    All comparisons are cross-multiplied integers and the leftover share
+    uses integer ``div``, so allocations are engine-exact.
+
+    Shape at 100 TB: one groupBy on the bounded language key (the only
+    corpus-wide pass, map-side combinable), then self-join + scalar
+    cross-joins over the L-row language table — L is dozens, never data
+    scale, so every post-aggregate step is broadcast-sized.  Returns
+    (lang, n_docs, cap_docs, alloc_docs, epochs_e4) where epochs_e4 is the
+    implied repeat factor x10^4.
+    """
+    if budget <= 0 or max_epochs <= 0:
+        raise ValueError("need budget > 0 and max_epochs > 0")
+    per = docs.groupBy(lang_col).agg(F.count("*").cast("long").alias("n_docs"))
+    # persist the L-row language table: it feeds the self-join (twice), the
+    # scalar total and the constrained rollup — without this each consumer
+    # re-runs the full corpus groupBy (the only data-scale pass here)
+    per = per.withColumn(
+        "cap_docs", F.col("n_docs") * F.lit(max_epochs)
+    ).persist()
+    a, b = per.alias("a"), per.alias("b")
+    key_le = (F.col("b.cap_docs") < F.col("a.cap_docs")) | (
+        (F.col("b.cap_docs") == F.col("a.cap_docs"))
+        & (F.col(f"b.{lang_col}") <= F.col(f"a.{lang_col}"))
+    )
+    ranked = (
+        a.join(F.broadcast(b), key_le)
+        .groupBy(
+            F.col(f"a.{lang_col}").alias(lang_col),
+            F.col("a.n_docs").alias("n_docs"),
+            F.col("a.cap_docs").alias("cap_docs"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("rn"),
+            F.sum(F.col("b.cap_docs")).cast("long").alias("cap_prefix"),
+        )
+    )
+    tot = ranked.agg(F.count("*").cast("long").alias("n_langs"))
+    ranked = ranked.crossJoin(F.broadcast(tot)).withColumn(
+        "constrained",
+        F.col("cap_docs") * (F.col("n_langs") - F.col("rn") + 1)
+        < F.lit(budget) - (F.col("cap_prefix") - F.col("cap_docs")),
+    )
+    k = ranked.agg(
+        F.sum(F.col("constrained").cast("long")).cast("long").alias("k"),
+        F.sum(
+            F.when(F.col("constrained"), F.col("cap_docs")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("cap_k"),
+    )
+    out = ranked.crossJoin(F.broadcast(k)).withColumn(
+        "alloc_docs",
+        F.when(F.col("constrained"), F.col("cap_docs")).otherwise(
+            F.expr(f"CAST(({budget} - cap_k) div (n_langs - k) AS BIGINT)")
+        ),
+    )
+    return out.select(
+        lang_col,
+        "n_docs",
+        "cap_docs",
+        F.col("alloc_docs").cast("long").alias("alloc_docs"),
+        F.expr("CAST(alloc_docs * 10000 div n_docs AS BIGINT)").alias(
+            "epochs_e4"
+        ),
+    )
+
+
 def calibrated_quality_gate(
     scored: DataFrame,
     by: str = "source",

@@ -868,6 +868,90 @@ def duplicated_ngram_flags(
     )
 
 
+def duplicated_ngram_removal(
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring REMOVAL at n-gram granularity — the second half of
+    Lee et al. 2022 ExactSubstr (``duplicated_ngram_flags`` only flags):
+    every non-first occurrence of a duplicated n-token window is removed,
+    and the document is rebuilt from the surviving words.  "First" is the
+    corpus-global minimum (doc_id, position) occurrence of the window, so
+    exactly one copy of every duplicated span survives — the original
+    keeps its text, later copies lose it, the Lee et al. contract.
+
+    Shape: positional window hashes are 60-bit longs built map-side
+    (codegen'd md5 over the joined slice); the first-occurrence table is
+    one hash aggregate of (gram → min struct) with map-side combine; the
+    probe join moves only (gram, doc, pos) longs; covered word indexes
+    explode to at most n rows per duplicated window and collapse with a
+    distinct + per-doc collect.  Per-doc rebuild cost is O(words x
+    removed-set lookup) inside one row — bounded by document length, never
+    corpus size.
+
+    Returns one row per input document: (id, n_words, n_removed,
+    text_clean) — text_clean is the lowercased surviving words joined by
+    single spaces (tokenization is lossy by design, as in the flags op).
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    t = docs.select(F.col(id_col), toks.alias("__toks"))
+    # sequence(a, b) steps DOWNWARD when a > b — filter short docs first
+    pos_grams = (
+        t.filter(F.size("__toks") >= n)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(__toks) - {n - 1}), i -> "
+                    f"struct(i AS pos, CAST(conv(substring(md5(array_join("
+                    f"slice(__toks, i, {n}), ' ')), 1, 15), 16, 10) AS BIGINT)"
+                    f" AS gram))"
+                )
+            ).alias("__s"),
+        )
+        .select(id_col, F.col("__s.pos").alias("pos"), F.col("__s.gram").alias("gram"))
+    )
+    firsts = pos_grams.groupBy("gram").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias(
+            "__f"
+        )
+    )
+    dup_occurrences = pos_grams.join(firsts, "gram").filter(
+        ~(
+            (F.col(id_col) == F.col("__f.d"))
+            & (F.col("pos") == F.col("__f.p"))
+        )
+    )
+    covered = (
+        dup_occurrences.select(
+            id_col,
+            F.explode(F.expr(f"sequence(pos, pos + {n - 1})")).alias("rm_idx"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("rm_idx")).alias("__rm"))
+    )
+    out = (
+        t.join(covered, id_col, "left")
+        .withColumn(
+            "__rm", F.coalesce("__rm", F.expr("CAST(array() AS ARRAY<INT>)"))
+        )
+        .select(
+            id_col,
+            F.size("__toks").cast("long").alias("n_words"),
+            F.size("__rm").cast("long").alias("n_removed"),
+            F.expr(
+                "array_join(filter(transform(sequence(1, size(__toks)), i -> "
+                "IF(array_contains(__rm, i), NULL, __toks[i - 1])), "
+                "x -> x IS NOT NULL), ' ')"
+            ).alias("text_clean"),
+        )
+    )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # paragraph-level dedup (CCNet)
 # ---------------------------------------------------------------------------

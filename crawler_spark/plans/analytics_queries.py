@@ -3716,6 +3716,319 @@ FROM per, tot
 """
 
 
+# ---------------------------------------------------------------------------
+# lined-corpus view (planted line structure + dirt for Gopher / C4 gates)
+# ---------------------------------------------------------------------------
+#
+# The synthetic documents are single-line word soup, so the line-level rules
+# of Gopher (bullet / ellipsis lines) and C4 (terminal punctuation, short
+# lines, 'javascript' lines, 'lorem ipsum' / '{' docs) would be vacuous on
+# the raw table.  This view deterministically re-lines every document into
+# 6-word lines and plants each class of dirt by (doc_id, line_idx) modulus —
+# identically in both dialects, so the gates do real discriminating work.
+
+_LINE_EXPR_SPARK = """
+transform(sequence(CAST(0 AS BIGINT), CAST(ceil(size(__w) / 6.0) AS BIGINT) - 1), i ->
+  CASE WHEN doc_id % 13 = 0 AND i = 1 THEN 'please enable javascript to view.'
+  ELSE concat(
+    CASE WHEN (doc_id + i) % 7 = 0 THEN '- ' ELSE '' END,
+    array_join(slice(__w, CAST(i * 6 + 1 AS INT),
+                     CASE WHEN i % 11 = 10 THEN 2 ELSE 6 END), ' '),
+    CASE WHEN (doc_id + i) % 9 = 2 THEN ' 12345 678' ELSE '' END,
+    CASE WHEN (doc_id + i) % 8 = 1 THEN ' #tag' ELSE '' END,
+    CASE WHEN doc_id % 17 = 3 AND i = 0 THEN ' lorem ipsum' ELSE '' END,
+    CASE WHEN doc_id % 19 = 5 AND i = 0 THEN ' { config }' ELSE '' END,
+    CASE WHEN (doc_id + i) % 5 = 3 THEN '...'
+         WHEN (doc_id + i) % 3 = 0 THEN '.' ELSE '' END)
+  END)
+"""
+
+
+def _lined_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "source",
+            F.split(F.trim(F.col("text")), r"\s+").alias("__w"),
+        )
+        .filter(F.size("__w") >= 1)
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        F.array_join(F.expr(_LINE_EXPR_SPARK), "\n").alias("text"),
+    )
+
+
+LINED_CORPUS_SQL = """
+lined AS (
+  SELECT doc_id, source,
+         array_to_string(list_transform(
+           generate_series(0, CAST(ceil(len(w) / 6.0) AS BIGINT) - 1), i ->
+           CASE WHEN doc_id % 13 = 0 AND i = 1
+                THEN 'please enable javascript to view.'
+           ELSE concat(
+             CASE WHEN (doc_id + i) % 7 = 0 THEN '- ' ELSE '' END,
+             array_to_string(list_slice(w, i * 6 + 1,
+               i * 6 + CASE WHEN i % 11 = 10 THEN 2 ELSE 6 END), ' '),
+             CASE WHEN (doc_id + i) % 9 = 2 THEN ' 12345 678' ELSE '' END,
+             CASE WHEN (doc_id + i) % 8 = 1 THEN ' #tag' ELSE '' END,
+             CASE WHEN doc_id % 17 = 3 AND i = 0 THEN ' lorem ipsum' ELSE '' END,
+             CASE WHEN doc_id % 19 = 5 AND i = 0 THEN ' { config }' ELSE '' END,
+             CASE WHEN (doc_id + i) % 5 = 3 THEN '...'
+                  WHEN (doc_id + i) % 3 = 0 THEN '.' ELSE '' END)
+           END), chr(10)) AS text
+  FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+               regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents)
+  WHERE len(w) >= 1
+)"""
+
+
+def q_quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The named Gopher quality-filter rule set (Rae et al. 2021 Table A1)
+    over the lined corpus: per-document flags for every rule plus the
+    conjunctive keep.  Distinct from text_quality's composite score — this
+    is the exact published gate a Gopher-style 100-TB curation run applies,
+    and it is a pure map-only Column pass (no shuffle, no UDF)."""
+    return TS.gopher_quality_flags(_lined_corpus(spark, sf_dir))
+
+
+_GOPHER_STOP_SQL = " + ".join(
+    f"(CASE WHEN regexp_matches(t, '\\b{s}\\b') THEN 1 ELSE 0 END)"
+    for s in TS.GOPHER_STOPWORDS
+)
+
+SQL_QUALITY_GOPHER_RULES = f"""
+WITH {LINED_CORPUS_SQL.strip()},
+feat AS (
+  SELECT doc_id, text AS t,
+         regexp_split_to_array(trim(text), '\\s+') AS w,
+         string_split(text, chr(10)) AS l
+  FROM lined),
+agg AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_len,
+         CAST(len(l) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(l, x -> starts_with(x, '- '))) AS BIGINT) AS n_bullet,
+         CAST(len(list_filter(l, x -> ends_with(x, '...'))) AS BIGINT) AS n_ellipsis,
+         CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+         CAST(len(regexp_extract_all(t, '#|\\.\\.\\.')) AS BIGINT) AS n_sym,
+         CAST({_GOPHER_STOP_SQL} AS BIGINT) AS n_stopwords
+  FROM feat),
+flags AS (
+  SELECT doc_id, n_words, n_lines, n_stopwords,
+         CAST(sum_len * 10000 // n_words AS BIGINT) AS mean_word_len_e4,
+         CAST(n_sym * 10000 // n_words AS BIGINT) AS symbol_ratio_e4,
+         (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+         (n_bullet * 10 <= n_lines * 9) AS r_bullet_lines,
+         (n_ellipsis * 10 <= n_lines * 3) AS r_ellipsis_lines,
+         (n_alpha * 10 >= n_words * 8) AS r_alpha_words,
+         (n_stopwords >= 2) AS r_stopwords
+  FROM agg)
+SELECT *,
+       (mean_word_len_e4 >= 30000 AND mean_word_len_e4 <= 100000) AS r_mean_word_len,
+       (symbol_ratio_e4 <= 1000) AS r_symbol_ratio,
+       (r_word_count
+        AND (mean_word_len_e4 >= 30000 AND mean_word_len_e4 <= 100000)
+        AND (symbol_ratio_e4 <= 1000)
+        AND r_bullet_lines AND r_ellipsis_lines
+        AND r_alpha_words AND r_stopwords) AS keep
+FROM flags
+"""
+
+
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2) over the lined
+    corpus: terminal-punctuation / >=3-word / no-'javascript' line gates,
+    whole-doc drops for 'lorem ipsum' and '{', and the rebuilt clean text.
+    Map-only Column pass — the C4 stage of a 100-TB curation run."""
+    return TS.c4_line_clean(_lined_corpus(spark, sf_dir))
+
+
+SQL_C4_LINE_FILTER = f"""
+WITH {LINED_CORPUS_SQL.strip()},
+f AS (
+  SELECT doc_id,
+         string_split(text, chr(10)) AS l,
+         list_filter(string_split(text, chr(10)), x ->
+           regexp_matches(x, '[.!?"]$')
+           AND len(string_split(x, ' ')) >= 3
+           AND NOT contains(x, 'javascript')) AS kept,
+         contains(text, 'lorem ipsum') AS has_lorem,
+         contains(text, '{{') AS has_brace
+  FROM lined)
+SELECT doc_id,
+       CAST(len(l) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept_lines,
+       has_lorem, has_brace,
+       (NOT has_lorem AND NOT has_brace AND len(kept) >= 3) AS keep,
+       coalesce(array_to_string(kept, chr(10)), '') AS text_clean
+FROM f
+"""
+
+
+def q_sample_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax epoch-capped language budget allocation (Chung et al. 2023)
+    over the documents table's lang column: budget 800 docs, cap 2 epochs
+    per language, closed-form integer waterfilling (see
+    assembly.unimax_allocation)."""
+    from crawler_spark.operators.assembly import unimax_allocation
+
+    return unimax_allocation(
+        _t(spark, sf_dir, "documents"), lang_col="lang", budget=800, max_epochs=2
+    )
+
+
+SQL_SAMPLE_UNIMAX = """
+WITH per AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(*) * 2 AS BIGINT) AS cap_docs
+  FROM documents GROUP BY lang),
+ranked AS (
+  SELECT a.lang, a.n_docs, a.cap_docs,
+         CAST(count(*) AS BIGINT) AS rn,
+         CAST(sum(b.cap_docs) AS BIGINT) AS cap_prefix
+  FROM per a JOIN per b
+    ON (b.cap_docs < a.cap_docs
+        OR (b.cap_docs = a.cap_docs AND b.lang <= a.lang))
+  GROUP BY a.lang, a.n_docs, a.cap_docs),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_langs FROM per),
+flagged AS (
+  SELECT r.*, t.n_langs,
+         (r.cap_docs * (t.n_langs - r.rn + 1)
+          < 800 - (r.cap_prefix - r.cap_docs)) AS constrained
+  FROM ranked r, tot t),
+kk AS (
+  SELECT CAST(sum(CASE WHEN constrained THEN 1 ELSE 0 END) AS BIGINT) AS k,
+         CAST(coalesce(sum(CASE WHEN constrained THEN cap_docs END), 0)
+              AS BIGINT) AS cap_k
+  FROM flagged),
+alloc AS (
+  SELECT f.lang, f.n_docs, f.cap_docs,
+         CAST(CASE WHEN f.constrained THEN f.cap_docs
+                   ELSE (800 - kk.cap_k) // (f.n_langs - kk.k) END
+              AS BIGINT) AS alloc_docs
+  FROM flagged f, kk)
+SELECT lang, n_docs, cap_docs, alloc_docs,
+       CAST(alloc_docs * 10000 // n_docs AS BIGINT) AS epochs_e4
+FROM alloc
+"""
+
+
+def q_dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span REMOVAL (Lee et al. 2022) on the planted corpus:
+    every non-first occurrence of a duplicated 8-token window is cut and
+    the document rebuilt — the planted exact copies come back empty while
+    their originals survive intact, and near-dup variants lose exactly
+    their shared spans.  See dedup.duplicated_ngram_removal for the
+    inverted-index shape."""
+    out = DD.duplicated_ngram_removal(_corpus(spark, sf_dir), n=8)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        "text_clean",
+    )
+
+
+SQL_DEDUP_SUBSTRING_REMOVAL = f"""
+WITH {CORPUS_SQL.strip()},
+t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM corpus),
+pg AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         ('0x' || substr(md5(array_to_string(toks[i : i + 7], ' ')), 1, 15))::BIGINT AS gram
+  FROM t, LATERAL unnest(generate_series(1, len(toks) - 7)) s(i)
+  WHERE len(toks) >= 8),
+firsts AS (
+  SELECT gram, min(struct_pack(d := doc_id, p := pos)) AS f
+  FROM pg GROUP BY gram),
+dups AS (
+  SELECT pg.doc_id, pg.pos FROM pg JOIN firsts USING (gram)
+  WHERE NOT (pg.doc_id = (f).d AND pg.pos = (f).p)),
+cov AS (
+  SELECT DISTINCT doc_id, CAST(j AS BIGINT) AS idx
+  FROM dups, LATERAL unnest(generate_series(pos, pos + 7)) s(j)),
+words AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS idx, toks[i] AS word
+  FROM t, LATERAL unnest(generate_series(1, len(toks))) s(i))
+SELECT w.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(CASE WHEN c.idx IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+       coalesce(string_agg(CASE WHEN c.idx IS NULL THEN w.word END,
+                           ' ' ORDER BY w.idx), '') AS text_clean
+FROM words w LEFT JOIN cov c ON w.doc_id = c.doc_id AND w.idx = c.idx
+GROUP BY w.doc_id
+"""
+
+
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 evaluation of the approximate ANN variants against the
+    brute-force ground truth — the self-measuring harness a 100-TB vector
+    pipeline ships so an index rebuild that silently tanks recall fails
+    loudly.  Per (variant, query): overlap count with the true top-5 and
+    recall x10^4.  The truth side is 8 queries x 5 rows — broadcast-sized
+    at any corpus scale; the expensive parts are the underlying ANN plans
+    themselves, reused verbatim."""
+    # persist the 8x5-row truth set: it feeds qids plus one hit-join per
+    # variant — without this the full brute-force plan re-runs per consumer
+    bf = (
+        q_ann_bruteforce(spark, sf_dir)
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "vec_id")
+        .persist()
+    )
+    qids = bf.select("query_id").distinct()
+
+    def rec(approx: DataFrame, name: str) -> DataFrame:
+        hits = (
+            approx.select("query_id", "vec_id")
+            .join(bf, ["query_id", "vec_id"])
+            .groupBy("query_id")
+            .agg(F.count("*").cast("long").alias("n_hits"))
+        )
+        return (
+            qids.join(hits, "query_id", "left")
+            .select(
+                F.lit(name).alias("variant"),
+                F.col("query_id").cast("long").alias("query_id"),
+                F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            )
+            .withColumn(
+                "recall_e4", F.expr("CAST(n_hits * 10000 div 5 AS BIGINT)")
+            )
+        )
+
+    return rec(q_ann_lsh(spark, sf_dir), "lsh").unionByName(
+        rec(q_ann_ivf(spark, sf_dir), "ivf")
+    )
+
+
+SQL_ANN_RECALL_EVAL = f"""
+WITH bf AS (
+  SELECT query_id, vec_id FROM ({SQL_ANN_BRUTEFORCE}) b WHERE rank <= 5),
+ap AS (
+  SELECT 'lsh' AS variant, query_id, vec_id FROM ({SQL_ANN_LSH}) l
+  UNION ALL
+  SELECT 'ivf' AS variant, query_id, vec_id FROM ({SQL_ANN_IVF}) i),
+qids AS (SELECT DISTINCT query_id FROM bf),
+variants AS (SELECT 'lsh' AS variant UNION ALL SELECT 'ivf' AS variant),
+hits AS (
+  SELECT ap.variant, ap.query_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM ap JOIN bf USING (query_id, vec_id)
+  GROUP BY ap.variant, ap.query_id)
+SELECT v.variant, CAST(q.query_id AS BIGINT) AS query_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) * 10000 // 5 AS BIGINT) AS recall_e4
+FROM variants v CROSS JOIN qids q
+LEFT JOIN hits h ON h.variant = v.variant AND h.query_id = q.query_id
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_paragraph": (q_dedup_paragraph, SQL_DEDUP_PARAGRAPH),
@@ -3767,6 +4080,14 @@ ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "sample_host_cap": (q_sample_host_cap, SQL_SAMPLE_HOST_CAP),
     "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
     "dedup_substring": (q_dedup_substring, SQL_DEDUP_SUBSTRING),
+    "dedup_substring_removal": (
+        q_dedup_substring_removal,
+        SQL_DEDUP_SUBSTRING_REMOVAL,
+    ),
+    "quality_gopher_rules": (q_quality_gopher_rules, SQL_QUALITY_GOPHER_RULES),
+    "c4_line_filter": (q_c4_line_filter, SQL_C4_LINE_FILTER),
+    "sample_unimax": (q_sample_unimax, SQL_SAMPLE_UNIMAX),
+    "ann_recall_eval": (q_ann_recall_eval, SQL_ANN_RECALL_EVAL),
     "ann_sq8": (q_ann_sq8, SQL_ANN_SQ8),
     "ann_ivf_sq8": (q_ann_ivf_sq8, SQL_ANN_IVF_SQ8),
     "image_aspect_buckets": (q_image_aspect_buckets, SQL_IMAGE_ASPECT_BUCKETS),

@@ -1384,6 +1384,178 @@ def test_duplicated_ngram_flags_exact_substr(spark):
     assert all(flags[d - 2000000] for d in planted)
 
 
+def test_duplicated_ngram_removal_matches_python_reference(spark):
+    """ExactSubstr removal == a literal Python keep-first pass: every
+    non-first occurrence of a duplicated 8-token window is cut; exact
+    copies come back empty, the drop-first-word near-variant comes back
+    empty (every window shifts onto the original), the original is
+    untouched."""
+    from crawler_spark.operators.dedup import duplicated_ngram_removal
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (1, base),                                # original (first)
+        (2, base),                                # exact copy
+        (3, " ".join(base.split()[1:])),          # near-variant, all covered
+        (4, f"lead in words {base} tail words"),  # partial overlap
+        (5, "unique content with no shared window present here at all"),
+        (6, "short doc"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in duplicated_ngram_removal(
+            spark.createDataFrame(docs, "doc_id long, text string"), n=8
+        ).collect()
+    }
+
+    # literal reference: gram -> min (doc, pos); non-first occurrences
+    # cover words [pos, pos+7]
+    toks = {d: t.lower().split() for d, t in docs}
+    first: dict[tuple, tuple] = {}
+    for d in sorted(toks):
+        w = toks[d]
+        for p in range(1, len(w) - 6):
+            g = tuple(w[p - 1 : p + 7])
+            if g not in first:
+                first[g] = (d, p)
+    removed: dict[int, set] = {d: set() for d in toks}
+    for d in sorted(toks):
+        w = toks[d]
+        for p in range(1, len(w) - 6):
+            if first[tuple(w[p - 1 : p + 7])] != (d, p):
+                removed[d].update(range(p, p + 8))
+    for d, w in toks.items():
+        keep = [x for i, x in enumerate(w, 1) if i not in removed[d]]
+        assert (out[d].n_words, out[d].n_removed, out[d].text_clean) == (
+            len(w),
+            len(removed[d]),
+            " ".join(keep),
+        ), d
+    assert out[1].text_clean == base and out[1].n_removed == 0
+    assert out[2].text_clean == "" and out[3].text_clean == ""
+    assert out[5].n_removed == 0 and out[6].n_removed == 0
+
+
+def test_gopher_quality_flags_match_python_reference(spark):
+    """gopher_quality_flags == a literal Python restatement of the Rae et
+    al. 2021 Table A1 rules, including a doc that fails each rule class."""
+    import re
+
+    from crawler_spark.functions.textstats import (
+        GOPHER_STOPWORDS,
+        gopher_quality_flags,
+    )
+
+    docs = [
+        # passes everything (stopwords, clean lines)
+        (1, "the cat and the dog sat with a mat of hats that day.\n"
+            "another fine line follows here now.\nthis one also ends well."),
+        # bullet-heavy + ellipsis-heavy + no stopwords
+        (2, "- first bullet...\n- second bullet...\n- third bullet..."),
+        # symbol-heavy + numeric words
+        (3, "## #tag # 123 456 789 # zz\n#more #tags 000 111"),
+        # too short
+        (4, "tiny doc."),
+        # word soup, one stopword only
+        (5, "key agg row scan slow fast table value part hash merge\n"
+            "batch part value fast spark the line sort window."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in gopher_quality_flags(df, min_words=5, max_words=40).collect()
+    }
+    for did, text in docs:
+        words = re.split(r"\s+", text.strip())
+        lines = text.split("\n")
+        n_words, n_lines = len(words), len(lines)
+        mean_e4 = sum(len(w) for w in words) * 10000 // n_words
+        sym_e4 = len(re.findall(r"#|\.\.\.", text)) * 10000 // n_words
+        n_stop = sum(
+            1 for s in GOPHER_STOPWORDS if re.search(rf"\b{s}\b", text)
+        )
+        want = {
+            "n_words": n_words,
+            "n_lines": n_lines,
+            "n_stopwords": n_stop,
+            "mean_word_len_e4": mean_e4,
+            "symbol_ratio_e4": sym_e4,
+            "r_word_count": 5 <= n_words <= 40,
+            "r_mean_word_len": 30000 <= mean_e4 <= 100000,
+            "r_symbol_ratio": sym_e4 <= 1000,
+            "r_bullet_lines": sum(ln.startswith("- ") for ln in lines) * 10
+            <= n_lines * 9,
+            "r_ellipsis_lines": sum(ln.endswith("...") for ln in lines) * 10
+            <= n_lines * 3,
+            "r_alpha_words": sum(
+                bool(re.search("[A-Za-z]", w)) for w in words
+            )
+            * 10
+            >= n_words * 8,
+            "r_stopwords": n_stop >= 2,
+        }
+        want["keep"] = all(v for k, v in want.items() if k.startswith("r_"))
+        got = out[did].asDict()
+        for k, v in want.items():
+            assert got[k] == v, (did, k, got[k], v)
+    assert out[1].keep
+    assert not out[2].r_bullet_lines and not out[2].r_ellipsis_lines
+    assert not out[3].r_symbol_ratio and not out[3].r_alpha_words
+    assert not out[4].r_word_count
+    assert not out[5].r_stopwords
+
+
+def test_c4_line_clean_matches_python_reference(spark):
+    """c4_line_clean == a literal Python restatement of the Raffel et al.
+    2020 §2.2 line rules + document drops."""
+    import re
+
+    from crawler_spark.functions.textstats import c4_line_clean
+
+    docs = [
+        (1, "the cat sat on the mat.\nis this a question?\n"
+            'he said "stop right there."\nno terminal punctuation here'),
+        (2, "too few.\nwords here.\nplease enable javascript to view.\nx y."),
+        (3, "lorem ipsum dolor sit amet.\nfine line number two here.\n"
+            "fine line number three here.\nfine line number four here."),
+        (4, "var config = { a: 1 }.\nfine line number two here.\n"
+            "fine line number three here.\nfine line number four here."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in c4_line_clean(df).collect()}
+    for did, text in docs:
+        lines = text.split("\n")
+        kept = [
+            ln
+            for ln in lines
+            if re.search(r'[.!?"]$', ln)
+            and len(ln.split(" ")) >= 3
+            and "javascript" not in ln
+        ]
+        has_lorem = "lorem ipsum" in text
+        has_brace = "{" in text
+        r = out[did]
+        assert (
+            r.n_lines,
+            r.n_kept_lines,
+            r.has_lorem,
+            r.has_brace,
+            r.keep,
+            r.text_clean,
+        ) == (
+            len(lines),
+            len(kept),
+            has_lorem,
+            has_brace,
+            not has_lorem and not has_brace and len(kept) >= 3,
+            "\n".join(kept),
+        ), did
+    assert out[1].keep and out[1].n_kept_lines == 3
+    assert not out[2].keep          # javascript + short lines eat it
+    assert not out[3].keep and out[3].has_lorem
+    assert not out[4].keep and out[4].has_brace
+
+
 def test_sq8_quantization_error_and_topk(spark):
     """SQ8 invariants: codes lie in [0,255]; per-dim reconstruction error is
     within half a quantization step; top-1 recovers a well-separated

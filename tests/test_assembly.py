@@ -9,6 +9,7 @@ roughly balanced sign, and the mix quotas never oversubscribe the budget.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 SF = "/root/testdata/sf0.001"
@@ -199,6 +200,74 @@ def test_unigram_lm_scores_match_python_reference(spark):
         ), d
     # ordering sanity: the all-common doc beats the all-rare doc
     assert out[4].mean_nll_e4 < out[3].mean_nll_e4
+
+
+def test_unimax_allocation_matches_greedy_waterfilling(spark):
+    """unimax_allocation's closed-form prefix-sum waterfilling == the
+    literal greedy loop of Chung et al. 2023: visit languages by ascending
+    cap; a language whose cap is below the current fair share takes its
+    full cap, the first language at or above the fair share freezes the
+    integer share for everyone remaining."""
+    from crawler_spark.operators.assembly import unimax_allocation
+
+    def greedy(counts: dict[str, int], budget: int, epochs: int):
+        caps = sorted(
+            ((c * epochs, lang) for lang, c in counts.items())
+        )
+        alloc, b_rem = {}, budget
+        remaining = len(caps)
+        for i, (cap, lang) in enumerate(caps):
+            if cap * remaining < b_rem:
+                alloc[lang] = cap
+                b_rem -= cap
+                remaining -= 1
+            else:
+                share = b_rem // remaining
+                for _, l2 in caps[i:]:
+                    alloc[l2] = share
+                break
+        return alloc
+
+    cases = [
+        ({"en": 50, "zh": 20, "de": 10, "fr": 10, "es": 10}, 150, 2),
+        ({"en": 50, "zh": 20, "de": 10, "fr": 10, "es": 10}, 40, 2),
+        # budget above total caps: everyone is constrained, budget unspent
+        ({"en": 5, "zh": 3}, 100, 2),
+        # cap tie broken by language name
+        ({"aa": 10, "bb": 10, "cc": 40}, 55, 1),
+    ]
+    for counts, budget, epochs in cases:
+        rows = [
+            (i, lang)
+            for lang, c in counts.items()
+            for i in range(c)
+        ]
+        df = spark.createDataFrame(
+            [(i, lang) for i, (_, lang) in enumerate(rows)],
+            ["doc_id", "lang"],
+        )
+        got = {
+            r.lang: r
+            for r in unimax_allocation(
+                df, budget=budget, max_epochs=epochs
+            ).collect()
+        }
+        want = greedy(counts, budget, epochs)
+        assert {k: v.alloc_docs for k, v in got.items()} == want, (
+            counts,
+            budget,
+            epochs,
+        )
+        for lang, r in got.items():
+            assert r.cap_docs == counts[lang] * epochs
+            assert r.alloc_docs <= r.cap_docs
+            assert r.epochs_e4 == r.alloc_docs * 10000 // counts[lang]
+        assert sum(want.values()) <= budget
+
+    with pytest.raises(ValueError):
+        unimax_allocation(
+            spark.createDataFrame([(1, "en")], ["doc_id", "lang"]), budget=0
+        )
 
 
 def test_dsir_importance_matches_python_reference(spark):
