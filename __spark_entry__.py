@@ -47,12 +47,15 @@ DRIVER_CHECK_WINDOW = 50
 # ROTATION_AS_OF >= #recorded - 1, so the rotation can lag recorded history
 # by at most the one in-flight grading round — it can never be pinned stale.
 ROTATION_AS_OF = 4
-# Round-5 rotation.  96 registered = 50 window + 46 tail.  Late-round growth:
-# five more pipeline queries (quality_gopher_rules, c4_line_filter,
-# sample_unimax, dedup_substring_removal, ann_recall_eval) entered the
-# window, each displacing one triple-green (r1+r2+r3) row into the tail —
-# t2_t3_keys, t6_heading_rewrite, text_langid, text_quality, text_tokens —
-# all within the K=2 staleness bound at ROTATION_AS_OF.  The window must
+# Round-5 rotation.  100 registered = 50 window + 50 tail.  Late-round
+# growth: nine more pipeline queries (quality_gopher_rules, c4_line_filter,
+# sample_unimax, dedup_substring_removal, ann_recall_eval, retrieval_bm25,
+# sample_soft_dedup, dedup_representatives, sample_doremi) entered the
+# window, each displacing one defer-eligible row into the tail —
+# t2_t3_keys, t6_heading_rewrite, text_langid, text_quality, text_tokens,
+# t7_limit_extraction, w1_listing_snapshot, text_fingerprint,
+# mm_image_metadata — all green r1+r2+r3 and within the K=2 staleness
+# bound at ROTATION_AS_OF.  The window must
 # hold every query whose ONLY green driver round is r4 (29 rows — they need
 # a second green before they are defer-eligible) plus the brand-new
 # corpus_assembly, dedup_paragraph, quality_perplexity,
@@ -75,6 +78,10 @@ DEFER_TO_TAIL = [
     "text_langid",
     "text_quality",
     "text_tokens",
+    "t7_limit_extraction",
+    "w1_listing_snapshot",
+    "text_fingerprint",
+    "mm_image_metadata",
     "frontier_generation_subpart",
     "s7_listing_expand",
     "p1_url_validity",

@@ -425,3 +425,81 @@ def chunk_documents(
             F.array_join(F.slice(F.col("__toks"), start + 1, n_here), " ")
         ).alias("chunk_md5"),
     )
+
+
+def doremi_weights(
+    losses: DataFrame,
+    domain_col: str = "source",
+    proxy_col: str = "loss_proxy_e4",
+    ref_col: str = "loss_ref_e4",
+    smoothing_e6: int = 100_000,
+) -> DataFrame:
+    """One multiplicative-weights step of DoReMi domain reweighting (Xie
+    et al. 2023, "DoReMi: Optimizing Data Mixtures Speeds Up Language
+    Model Pretraining"): given per-document proxy-model and reference-model
+    losses (scaled-BIGINT ``*_e4``; a real run plugs in measured losses,
+    the plan is unchanged), compute per-domain excess loss, exponentiate
+    (step size eta = 1, the paper's Alg. 1 with uniform alpha_0 folded into
+    the normalization), normalize, and smooth with the uniform
+    distribution:
+
+        excess_e4  = (sum_docs max(0, proxy - ref)) div n_docs
+        f_e6       = round(exp(excess_e4 / 10^4) * 10^6)      [once/domain]
+        weight_e6  = (f_e6 * 10^6) div sum_domains(f_e6)
+        final_e6   = ((10^6 - smoothing_e6) * weight_e6) div 10^6
+                     + smoothing_e6 div n_domains
+
+    The ONLY float is exp() of an exact small double (excess_e4 / 10^4 is
+    one IEEE division of an integer-valued double), computed once per
+    domain and rounded to e6 — the ln-rounded-once precedent — so every
+    downstream value is exact 64-bit integer arithmetic, identical in any
+    engine.  Floor-division makes the final weights sum to slightly under
+    10^6; DoReMi consumes them as relative sampling odds, where the
+    at-most-(k+1)e-6 deficit is immaterial.
+
+    Shape at 100 TB: one bounded-key (domain) aggregate over the corpus —
+    map-side combinable — then all remaining arithmetic happens on the
+    k-row domain table with two one-row broadcast scalars (sum_f,
+    n_domains).  Nothing after the first aggregate touches corpus-sized
+    data.
+
+    Returns one row per domain: (domain, n_docs, excess_e4, weight_e6,
+    final_e6).
+    """
+    per = losses.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(
+            F.greatest(F.col(proxy_col) - F.col(ref_col), F.lit(0)).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("__sum_excess"),
+    )
+    per = per.withColumn(
+        "excess_e4", F.expr("CAST(__sum_excess div n_docs AS BIGINT)")
+    ).withColumn(
+        "f_e6",
+        F.round(
+            F.exp(F.col("excess_e4").cast("double") / F.lit(10000.0))
+            * 1000000
+        ).cast("long"),
+    )
+    tot = per.agg(
+        F.sum("f_e6").cast("long").alias("__sum_f"),
+        F.count("*").cast("long").alias("__k"),
+    )  # one row
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "weight_e6", F.expr("CAST(f_e6 * 1000000 div __sum_f AS BIGINT)")
+        )
+        .withColumn(
+            "final_e6",
+            F.expr(
+                f"CAST((1000000 - {smoothing_e6}) * weight_e6 div 1000000 "
+                f"+ {smoothing_e6} div __k AS BIGINT)"
+            ),
+        )
+        .select("domain", "n_docs", "excess_e4", "weight_e6", "final_e6")
+    )

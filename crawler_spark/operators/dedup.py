@@ -1049,3 +1049,83 @@ def paragraph_dedup(
             F.lit(""),
         ).alias("text_clean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# soft deduplication (commonness reweighting)
+# ---------------------------------------------------------------------------
+
+
+def ngram_commonness_weights(
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Soft deduplication by n-gram commonness (He et al. 2024, "SoftDedup:
+    an Efficient Data Reweighting Method for Speeding Up Language Model
+    Pre-training"): instead of REMOVING duplicated documents, DOWN-WEIGHT
+    them in the sampling distribution proportionally to how duplicated
+    their content is — removal loses the unique remainder of a
+    partially-duplicated document; reweighting keeps it at reduced mass.
+
+    Commonness of a document = the mean corpus occurrence count of its
+    n-token windows (a doc whose every window appears 3x corpus-wide has
+    commonness 3), carried as the scaled integer
+
+        commonness_e4 = (10^4 * sum_window_counts) div n_windows  (>= 10^4)
+
+    and the sampling weight is its exact integer reciprocal
+
+        weight_e6 = 10^10 div commonness_e4   (== 10^6 / commonness),
+
+    so a never-duplicated document keeps weight 10^6 and an everywhere-
+    duplicated one is attenuated 1/commonness — the paper's reweighting
+    direction with integer-only arithmetic (engine-identical hashes).
+    Documents shorter than ``n`` tokens carry no duplication evidence and
+    keep full weight.
+
+    Shape at 100 TB: positional window hashes are 60-bit longs built
+    map-side; the global occurrence count is ONE hash aggregate with
+    map-side combine (the ExactSubstr inverted-index shape); the join back
+    moves only (gram, count) longs; the per-doc sum is a second narrow
+    aggregate.  No N^2 stage, no windows over the corpus.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    t = docs.select(F.col(id_col), toks.alias("__toks"))
+    # sequence(a, b) steps DOWNWARD when a > b — filter short docs first
+    grams = t.filter(F.size("__toks") >= n).select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(__toks) - {n - 1}), i -> "
+                f"CAST(conv(substring(md5(array_join("
+                f"slice(__toks, i, {n}), ' ')), 1, 15), 16, 10) AS BIGINT))"
+            )
+        ).alias("gram"),
+    )
+    counts = grams.groupBy("gram").agg(F.count("*").cast("long").alias("__c"))
+    per_doc = (
+        grams.join(counts, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.sum("__c").cast("long").alias("__sum_c"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.expr(
+                "CAST(CASE WHEN n_windows IS NULL OR n_windows = 0 THEN 10000 "
+                "ELSE 10000 * __sum_c div n_windows END AS BIGINT)"
+            ).alias("commonness_e4"),
+        )
+        .withColumn(
+            "weight_e6",
+            F.expr("CAST(10000000000 div commonness_e4 AS BIGINT)"),
+        )
+    )

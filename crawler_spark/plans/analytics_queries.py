@@ -4029,6 +4029,247 @@ LEFT JOIN hits h ON h.variant = v.variant AND h.query_id = q.query_id
 """
 
 
+# ---------------------------------------------------------------------------
+# retrieval / soft dedup / representatives / DoReMi (round-5 additions)
+# ---------------------------------------------------------------------------
+
+# Fixed query bags over the corpus vocabulary; q3 includes a term absent
+# from the corpus (df = 0 path: it simply contributes no postings).
+BM25_QUERY_TERMS: dict[int, list[str]] = {
+    0: ["hash", "join", "table"],
+    1: ["window", "sort"],
+    2: ["spark", "scan", "fast"],
+    3: ["merge", "batch", "zzzunseen"],
+}
+
+
+def q_retrieval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact Okapi BM25 top-5 per query over the documents table —
+    the inverted-index-probe retrieval a curation pipeline runs for
+    similarity-to-reference selection and retrieval-based decontamination.
+    See operators/retrieval.bm25_topk for the exactness restatement
+    (k1=6/5, b=3/4, idf rounded once per distinct queried term)."""
+    from crawler_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), BM25_QUERY_TERMS, k=5)
+
+
+_BM25_VALUES = ",\n         ".join(
+    f"({qid}, '{t}')"
+    for qid, terms in sorted(BM25_QUERY_TERMS.items())
+    for t in sorted(set(terms))
+)
+
+SQL_RETRIEVAL_BM25 = f"""
+WITH q(query_id, term) AS (
+  VALUES {_BM25_VALUES}),
+t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents),
+d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+postings AS (
+  SELECT tok.doc_id, d.dl, tok.term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok
+  JOIN (SELECT DISTINCT term FROM q) qt USING (term)
+  JOIN d ON d.doc_id = tok.doc_id
+  GROUP BY tok.doc_id, d.dl, tok.term),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS sum_dl
+  FROM d),
+dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM postings GROUP BY term),
+idf AS (
+  SELECT term,
+         CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * 10000)
+              AS BIGINT) AS idf_e4
+  FROM dfreq, stats),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         CAST(count(*) AS BIGINT) AS n_terms_matched,
+         CAST(sum(idf.idf_e4 * 22 * p.tf * s.a_e4
+                  // (10 * p.tf * s.a_e4 + 3 * s.a_e4 + 9 * p.dl * 10000))
+              AS BIGINT) AS score_e4
+  FROM postings p
+  JOIN idf USING (term)
+  JOIN q USING (term)
+  CROSS JOIN (SELECT 10000 * sum_dl // n_docs AS a_e4 FROM stats) s
+  GROUP BY q.query_id, p.doc_id),
+ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY query_id ORDER BY score_e4 DESC, doc_id) AS rank
+  FROM scored)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id, n_terms_matched, score_e4
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_sample_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDedup commonness reweighting (He et al. 2024) on the planted
+    corpus: documents are DOWN-WEIGHTED by the mean corpus occurrence
+    count of their 8-token windows instead of removed — the planted exact
+    copies land at commonness ~2 (weight ~0.5e6) while unique docs keep
+    weight 10^6.  See dedup.ngram_commonness_weights."""
+    out = DD.ngram_commonness_weights(_corpus(spark, sf_dir), n=8)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_windows").cast("long").alias("n_windows"),
+        F.col("commonness_e4").cast("long").alias("commonness_e4"),
+        F.col("weight_e6").cast("long").alias("weight_e6"),
+    )
+
+
+SQL_SAMPLE_SOFT_DEDUP = f"""
+WITH {CORPUS_SQL.strip()},
+t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM corpus),
+grams AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(array_to_string(toks[i : i + 7], ' ')), 1, 15))::BIGINT AS gram
+  FROM t, LATERAL unnest(generate_series(1, len(toks) - 7)) s(i)
+  WHERE len(toks) >= 8),
+counts AS (SELECT gram, CAST(count(*) AS BIGINT) AS c FROM grams GROUP BY gram),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         CAST(sum(c) AS BIGINT) AS sum_c
+  FROM grams JOIN counts USING (gram) GROUP BY doc_id),
+w AS (
+  SELECT c.doc_id,
+         CAST(coalesce(p.n_windows, 0) AS BIGINT) AS n_windows,
+         CAST(CASE WHEN p.n_windows IS NULL OR p.n_windows = 0 THEN 10000
+                   ELSE 10000 * p.sum_c // p.n_windows END AS BIGINT)
+           AS commonness_e4
+  FROM corpus c LEFT JOIN per p USING (doc_id))
+SELECT doc_id, n_windows, commonness_e4,
+       CAST(10000000000 // commonness_e4 AS BIGINT) AS weight_e6
+FROM w
+"""
+
+
+def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text near-dup cluster curation — the text twin of
+    image_dedup_representatives: MinHash-LSH pairs → connected components
+    → ONE representative per cluster under the total order (n_chars DESC,
+    doc_id ASC); singleton docs represent themselves.  This is the "which
+    copy do we keep" decision every dedup pipeline must make after
+    clustering; the keep-longest rule is the C4/CCNet convention."""
+    c = _corpus(spark, sf_dir)
+    sig = DD.minhash_signatures(c, num_perm=16)
+    pairs = DD.lsh_candidate_pairs(sig, num_perm=16, bands=4, min_est_jaccard=0.5)
+    cc = DD.connected_components(pairs)
+    lab = (
+        c.select("doc_id", F.length("text").cast("long").alias("n_chars"))
+        .join(cc, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
+    )
+    rep = lab.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("cluster_size"),
+        F.min(
+            F.struct((-F.col("n_chars")).alias("a"), F.col("doc_id").alias("b"))
+        ).alias("__m"),
+    )
+    return lab.join(rep, "cluster_id").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "cluster_size",
+        F.col("__m.b").cast("long").alias("rep_id"),
+        (F.col("doc_id") == F.col("__m.b")).alias("is_rep"),
+    )
+
+
+SQL_DEDUP_REPRESENTATIVES = f"""
+WITH RECURSIVE {CORPUS_SQL.strip()},
+pairs AS ({SQL_DEDUP_MINHASH}),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION
+  SELECT b_id AS src, a_id AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+cc AS (
+  SELECT n.doc_id, least(n.doc_id, min(r.dst)) AS cluster_id
+  FROM nodes n LEFT JOIN reach r ON r.src = n.doc_id
+  GROUP BY n.doc_id),
+lab AS (
+  SELECT c.doc_id, CAST(length(c.text) AS BIGINT) AS n_chars,
+         coalesce(cc.cluster_id, c.doc_id) AS cluster_id
+  FROM corpus c LEFT JOIN cc USING (doc_id)),
+rep AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size,
+         min(struct_pack(a := -n_chars, b := doc_id)) AS m
+  FROM lab GROUP BY cluster_id)
+SELECT CAST(l.doc_id AS BIGINT) AS doc_id,
+       CAST(l.cluster_id AS BIGINT) AS cluster_id,
+       r.cluster_size,
+       CAST((r.m).b AS BIGINT) AS rep_id,
+       l.doc_id = (r.m).b AS is_rep
+FROM lab l JOIN rep r USING (cluster_id)
+"""
+
+
+def q_sample_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi domain-weight step (Xie et al. 2023) over the documents
+    table's source domains.  Proxy/reference losses are deterministic
+    md5-derived integers (a real run plugs in measured model losses; the
+    plan — one bounded-key aggregate, then k-row arithmetic — is
+    unchanged).  See assembly.doremi_weights."""
+    from crawler_spark.operators.assembly import doremi_weights
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        (
+            F.conv(F.substring(F.md5(F.concat(F.lit("p:"), F.col("text"))), 1, 4), 16, 10)
+            .cast("long")
+            % 10000
+        ).alias("loss_proxy_e4"),
+        (
+            F.conv(F.substring(F.md5(F.concat(F.lit("r:"), F.col("text"))), 1, 4), 16, 10)
+            .cast("long")
+            % 10000
+        ).alias("loss_ref_e4"),
+    )
+    return doremi_weights(d)
+
+
+SQL_SAMPLE_DOREMI = """
+WITH l AS (
+  SELECT source AS domain,
+         ('0x' || substr(md5('p:' || text), 1, 4))::BIGINT % 10000 AS lp,
+         ('0x' || substr(md5('r:' || text), 1, 4))::BIGINT % 10000 AS lr
+  FROM documents),
+per AS (
+  SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(greatest(lp - lr, 0)) AS BIGINT) AS sum_excess
+  FROM l GROUP BY domain),
+e AS (
+  SELECT domain, n_docs,
+         CAST(sum_excess // n_docs AS BIGINT) AS excess_e4
+  FROM per),
+f AS (
+  SELECT *,
+         CAST(round(exp(CAST(excess_e4 AS DOUBLE) / 10000.0) * 1000000)
+              AS BIGINT) AS f_e6
+  FROM e),
+tot AS (
+  SELECT CAST(sum(f_e6) AS BIGINT) AS sum_f,
+         CAST(count(*) AS BIGINT) AS k
+  FROM f)
+SELECT f.domain, f.n_docs, f.excess_e4,
+       CAST(f.f_e6 * 1000000 // t.sum_f AS BIGINT) AS weight_e6,
+       CAST((1000000 - 100000) * (f.f_e6 * 1000000 // t.sum_f) // 1000000
+            + 100000 // t.k AS BIGINT) AS final_e6
+FROM f, tot t
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_paragraph": (q_dedup_paragraph, SQL_DEDUP_PARAGRAPH),
@@ -4088,6 +4329,13 @@ ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "c4_line_filter": (q_c4_line_filter, SQL_C4_LINE_FILTER),
     "sample_unimax": (q_sample_unimax, SQL_SAMPLE_UNIMAX),
     "ann_recall_eval": (q_ann_recall_eval, SQL_ANN_RECALL_EVAL),
+    "retrieval_bm25": (q_retrieval_bm25, SQL_RETRIEVAL_BM25),
+    "sample_soft_dedup": (q_sample_soft_dedup, SQL_SAMPLE_SOFT_DEDUP),
+    "dedup_representatives": (
+        q_dedup_representatives,
+        SQL_DEDUP_REPRESENTATIVES,
+    ),
+    "sample_doremi": (q_sample_doremi, SQL_SAMPLE_DOREMI),
     "ann_sq8": (q_ann_sq8, SQL_ANN_SQ8),
     "ann_ivf_sq8": (q_ann_ivf_sq8, SQL_ANN_IVF_SQ8),
     "image_aspect_buckets": (q_image_aspect_buckets, SQL_IMAGE_ASPECT_BUCKETS),

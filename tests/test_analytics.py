@@ -1827,3 +1827,131 @@ def test_caption_embedding_and_alignment_gate(spark):
     assert got["zero"].alignment_e4 == 0 and not got["zero"].keep
     with pytest.raises(ValueError):
         caption_embedding(df, dims=61)
+
+
+def test_bm25_matches_python_reference(spark):
+    """bm25_topk == a literal integer-arithmetic restatement of the Okapi
+    formula (k1=6/5, b=3/4, idf rounded once per term)."""
+    import math
+    import re
+
+    from crawler_spark.operators.retrieval import bm25_topk
+
+    docs = [
+        (1, "hash join table scan hash hash"),
+        (2, "window sort merge table"),
+        (3, "spark scan fast fast line"),
+        (4, "the a value key part"),
+        (5, "hash table"),
+    ]
+    queries = {0: ["hash", "table"], 1: ["fast", "zzznope"], 2: ["sort"]}
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.query_id, r.doc_id): r
+        for r in bm25_topk(df, queries, k=3).collect()
+    }
+
+    toks = {d: re.split(r"\s+", t.strip().lower()) for d, t in docs}
+    n, s = len(docs), sum(len(v) for v in toks.values())
+    a_e4 = 10000 * s // n
+    tf = {
+        (d, w): toks[d].count(w)
+        for d in toks
+        for w in set(toks[d])
+    }
+    want: dict[tuple[int, int], tuple[int, int]] = {}
+    for qid, terms in queries.items():
+        scores = {}
+        for d in toks:
+            sc, nm = 0, 0
+            for term in set(terms):
+                t = tf.get((d, term), 0)
+                if t == 0:
+                    continue
+                dfreq = sum(1 for dd in toks if term in toks[dd])
+                idf_e4 = round(
+                    math.log((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0) * 10000
+                )
+                sc += (
+                    idf_e4 * 22 * t * a_e4
+                    // (10 * t * a_e4 + 3 * a_e4 + 9 * len(toks[d]) * 10000)
+                )
+                nm += 1
+            if nm:
+                scores[d] = (sc, nm)
+        top = sorted(scores.items(), key=lambda kv: (-kv[1][0], kv[0]))[:3]
+        for rank, (d, (sc, nm)) in enumerate(top, 1):
+            want[(qid, d)] = (rank, sc, nm)
+
+    assert set(got) == set(want)
+    for key, (rank, sc, nm) in want.items():
+        assert got[key].rank == rank, key
+        assert got[key].score_e4 == sc, key
+        assert got[key].n_terms_matched == nm, key
+
+
+def test_ngram_commonness_weights(spark):
+    """SoftDedup commonness: an exact-copy pair sits at commonness 2 /
+    weight 0.5e6, a unique doc keeps full weight, a short doc carries no
+    evidence and keeps full weight."""
+    from crawler_spark.operators.dedup import ngram_commonness_weights
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    docs = [
+        (1, base),
+        (2, base),  # exact copy: every window appears twice
+        (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),  # unique
+        (4, "short doc"),  # < 8 tokens: no windows
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in ngram_commonness_weights(df, n=8).collect()}
+    assert out[1].n_windows == 3 and out[2].n_windows == 3
+    assert out[1].commonness_e4 == 20000 and out[1].weight_e6 == 500000
+    assert out[2].commonness_e4 == 20000 and out[2].weight_e6 == 500000
+    assert out[3].commonness_e4 == 10000 and out[3].weight_e6 == 1000000
+    assert out[4].n_windows == 0 and out[4].weight_e6 == 1000000
+
+
+def test_dedup_representatives_keep_longest(spark):
+    """Representative selection over a hand-built cluster structure: the
+    longest text wins, doc_id breaks ties, singletons self-represent."""
+    from crawler_spark.operators.dedup import connected_components
+    from pyspark.sql import functions as F
+
+    # emulate the query's composition on explicit pairs
+    docs = [(1, "aaaa"), (2, "aaaaaa"), (3, "aaaaaa"), (7, "zz")]
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "a_id long, b_id long"
+    )
+    c = spark.createDataFrame(docs, "doc_id long, text string")
+    cc = connected_components(pairs)
+    lab = (
+        c.select("doc_id", F.length("text").cast("long").alias("n_chars"))
+        .join(cc, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
+    )
+    rep = lab.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("cluster_size"),
+        F.min(
+            F.struct((-F.col("n_chars")).alias("a"), F.col("doc_id").alias("b"))
+        ).alias("__m"),
+    )
+    out = {
+        r.doc_id: r
+        for r in lab.join(rep, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            F.col("__m.b").alias("rep_id"),
+            (F.col("doc_id") == F.col("__m.b")).alias("is_rep"),
+        )
+        .collect()
+    }
+    # cluster {1,2,3}: longest = 2 and 3 (6 chars), tie -> doc_id 2
+    for d in (1, 2, 3):
+        assert out[d].cluster_id == 1 and out[d].cluster_size == 3
+        assert out[d].rep_id == 2
+        assert out[d].is_rep == (d == 2)
+    assert out[7].cluster_id == 7 and out[7].cluster_size == 1
+    assert out[7].rep_id == 7 and out[7].is_rep

@@ -319,3 +319,42 @@ def test_dsir_importance_matches_python_reference(spark):
     # alpha/beta are target-like; gamma/delta are not
     assert out[3].logw_e4 > 0 > out[2].logw_e4
     assert out[1].logw_e4 > out[2].logw_e4
+
+
+def test_doremi_weights_matches_python_reference(spark):
+    """doremi_weights == a literal restatement of the DoReMi step with
+    Python ints + math.exp, including the zero-excess domain."""
+    import math
+
+    from crawler_spark.operators.assembly import doremi_weights
+
+    rows = [
+        ("d0", 9000, 1000),  # high excess
+        ("d0", 5000, 5000),
+        ("d1", 2000, 1500),  # small excess
+        ("d2", 1000, 9000),  # negative -> clamped to 0
+        ("d2", 0, 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, loss_proxy_e4 long, loss_ref_e4 long"
+    )
+    got = {r.domain: r for r in doremi_weights(df).collect()}
+
+    per = {}
+    for dom, p, r in rows:
+        n, se = per.get(dom, (0, 0))
+        per[dom] = (n + 1, se + max(0, p - r))
+    f_e6 = {
+        dom: round(math.exp((se // n) / 10000.0) * 1000000)
+        for dom, (n, se) in per.items()
+    }
+    sum_f, k = sum(f_e6.values()), len(f_e6)
+    for dom, (n, se) in per.items():
+        w = f_e6[dom] * 1000000 // sum_f
+        final = (1000000 - 100000) * w // 1000000 + 100000 // k
+        assert got[dom].n_docs == n, dom
+        assert got[dom].excess_e4 == se // n, dom
+        assert got[dom].weight_e6 == w, dom
+        assert got[dom].final_e6 == final, dom
+    # clamped domain carries zero excess but nonzero smoothed weight
+    assert got["d2"].excess_e4 == 0 and got["d2"].final_e6 > 0
