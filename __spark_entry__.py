@@ -72,7 +72,15 @@ ROTATION_AS_OF = 4
 #    semantics stay pinned every round by tests/test_deferred_parity.py
 #    (and the flagship frontier_generation shares the subpart's stack).
 # The other 16 r4-tail rows return to the window for re-verification.
+# Final late-round growth: decontam_embedding, text_ngram_diversity and
+# url_quality_gate enter the window, each displacing one more
+# defer-eligible row (t1_link_extraction, s12_state_recovery,
+# sample_stratified — all green r1+r2+r3, within the K=2 bound at
+# ROTATION_AS_OF=4).
 DEFER_TO_TAIL = [
+    "t1_link_extraction",
+    "s12_state_recovery",
+    "sample_stratified",
     "t2_t3_keys",
     "t6_heading_rewrite",
     "text_langid",

@@ -4270,6 +4270,251 @@ FROM f, tot t
 """
 
 
+def q_decontam_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic complement
+    of ``text_decontaminate``'s n-gram filter: flag every corpus vector
+    whose cosine similarity to ANY held-out benchmark vector reaches 0.8
+    (paraphrased test-set leakage that shares no n-grams; the
+    embedding-similarity decontamination pass of modern pipelines, cf.
+    GPT-3 §C's spirit and SemDeDup-style semantic matching).  The
+    benchmark side is tiny by nature, so it BROADCASTS and the corpus side
+    never shuffles: the scan is one map-side pass computing N·B dot
+    products (hoisted norms — each vector's norm is folded once, not once
+    per pair), followed by a single (vec_id) hash aggregate.  At 100 TB
+    the only change is pre-bucketing candidates with the coarse quantizer
+    (``similarity.ivf_assign``) so each corpus vector meets only the
+    benchmark vectors of its probed cells — same plan shape as
+    ``dedup_semantic``.  Benchmark = the planted-near-dup SEED vectors
+    (vec_id % 25 == 0 originals), so the vcorpus's +1000000 perturbed
+    twins are guaranteed contaminated rows.  Output: (vec_id, n_close,
+    max_cosine) per contaminated vector."""
+    dot_self = (
+        "aggregate(zip_with(embedding, embedding, "
+        "(p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    nv = _vcorpus(spark, sf_dir).withColumn("norm", F.expr(f"sqrt({dot_self})"))
+    is_bench = (F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 1000000)
+    bench = nv.filter(is_bench).select(
+        F.col("embedding").alias("b_emb"), F.col("norm").alias("b_norm")
+    )
+    cand = nv.filter(~is_bench)
+    dot_ab = (
+        "aggregate(zip_with(embedding, b_emb, "
+        "(p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    cos = F.round(F.expr(dot_ab) / (F.col("norm") * F.col("b_norm")), 4)
+    return (
+        cand.crossJoin(F.broadcast(bench))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= 0.8)
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_close"),
+            F.max("cosine").cast("double").alias("max_cosine"),
+        )
+        .select(F.col("vec_id").cast("long").alias("vec_id"), "n_close", "max_cosine")
+    )
+
+
+SQL_DECONTAM_EMBEDDING = f"""
+WITH {VCORPUS_SQL.strip()},
+nv AS (
+  SELECT vec_id, embedding,
+         sqrt(list_dot_product(embedding, embedding)) AS norm
+  FROM vcorpus),
+bench AS (
+  SELECT embedding AS b_emb, norm AS b_norm FROM nv
+  WHERE vec_id % 25 = 0 AND vec_id < 1000000),
+cand AS (
+  SELECT * FROM nv WHERE NOT (vec_id % 25 = 0 AND vec_id < 1000000)),
+p AS (
+  SELECT c.vec_id,
+         round(list_dot_product(c.embedding, b.b_emb) / (c.norm * b.b_norm),
+               4) AS cosine
+  FROM cand c, bench b)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(count(*) AS BIGINT) AS n_close,
+       CAST(max(cosine) AS DOUBLE) AS max_cosine
+FROM p WHERE cosine >= 0.8 GROUP BY vec_id
+"""
+
+
+def q_text_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus n-gram diversity (the corpus-level distinct-n
+    metric, Li et al. 2016): distinct 3-gram count over total 3-gram
+    occurrences, as an exact integer per-mille-of-10k ratio.  The corpus
+    health gauge a 100-TB curation run tracks per snapshot — a source
+    whose diversity collapses is being flooded by templated/duplicated
+    text (the signal behind C4's boilerplate findings).  Shape: one
+    map-side explode, then a two-level (source, gram) hash aggregate —
+    the exact distinct count is itself a map-side-combinable aggregate on
+    the (source, gram) pair; at petabyte scale the documented knob is
+    ``approx_count_distinct`` (HLL) in the same plan."""
+    d = (
+        _corpus(spark, sf_dir)
+        .select("source", F.split(F.lower(F.trim("text")), r"\s+").alias("t"))
+        .filter(F.size("t") >= 3)
+    )
+    ng = d.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 2), "
+                "i -> concat_ws(' ', slice(t, i, 3)))"
+            )
+        ).alias("g"),
+    )
+    return (
+        ng.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.countDistinct("g").cast("long").alias("n_distinct"),
+        )
+        .select(
+            "source",
+            "n_shingles",
+            "n_distinct",
+            F.expr("(10000 * n_distinct) div n_shingles")
+            .cast("long")
+            .alias("diversity_e4"),
+        )
+    )
+
+
+SQL_TEXT_NGRAM_DIVERSITY = f"""
+WITH {CORPUS_SQL.strip()},
+d AS (
+  SELECT source, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM corpus),
+ng AS (
+  SELECT source,
+         unnest(list_transform(generate_series(1, len(t) - 2),
+                i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS g
+  FROM d WHERE len(t) >= 3)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+       CAST((10000 * count(DISTINCT g)) // count(*) AS BIGINT) AS diversity_e4
+FROM ng GROUP BY source
+"""
+
+
+def q_url_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style URL filtering (Penedo et al. 2023 §3.1): score
+    every frontier URL on (a) blocklist-word hits anywhere in the URL,
+    (b) excess path depth, (c) digit-heaviness — the pre-fetch gate that
+    drops adult/spam/link-farm URLs BEFORE spending a fetch on them (at
+    crawl scale the cheapest byte is the one never downloaded).  All
+    three features are pure string arithmetic (instr / length-delta /
+    regexp_replace), so the gate is a zero-shuffle map-side projection
+    that composes with P1's validity predicate in the same stage.  URL
+    mix is synthesized per doc_id residue (the q_p1_url_validity
+    convention) so every feature class is planted: %5==0 plants a
+    blocklist path word, %5==1 a blocklist subdomain, %5==2 a 9-deep
+    path, %5==3 a digit-heavy id, else a clean /p/<id>/view page.
+    Output: per-URL features + keep flag (score < 5 — one blocklist hit
+    alone rejects)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    sid = F.col("doc_id").cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("http://"), F.col("source"),
+                     F.lit(".test/casino/bonus-"), sid),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.lit("http://xxx."), F.col("source"),
+                     F.lit(".test/p/"), sid),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(F.lit("http://"), F.col("source"),
+                     F.lit(".test/a/b/c/d/e/f/g/"), sid),
+        )
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(F.lit("http://"), F.col("source"), F.lit(".test/id/"),
+                     (F.col("doc_id") * 1234567).cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("http://"), F.col("source"), F.lit(".test/p/"),
+                     sid, F.lit("/view"))
+        )
+    )
+    u = d.select(F.col("doc_id").cast("long").alias("doc_id"), url.alias("url"))
+    hit = lambda w: F.expr(  # noqa: E731
+        f"CASE WHEN instr(url, '{w}') > 0 THEN 1 ELSE 0 END"
+    )
+    feats = u.select(
+        "doc_id",
+        "url",
+        (hit("casino") + hit("xxx") + hit("webcam"))
+        .cast("int")
+        .alias("blocklist_hits"),
+        (F.length("url") - F.length(F.expr("replace(url, '/', '')")))
+        .cast("int")
+        .alias("path_depth"),
+        (F.length("url") - F.length(F.regexp_replace("url", "[0-9]", "")))
+        .cast("int")
+        .alias("digit_count"),
+    )
+    return feats.select(
+        "doc_id",
+        "url",
+        "blocklist_hits",
+        "path_depth",
+        "digit_count",
+        (
+            F.col("blocklist_hits") * 5
+            + F.greatest(F.col("path_depth") - 7, F.lit(0))
+            + F.when(F.col("digit_count") >= 6, 1).otherwise(0)
+        )
+        .cast("int")
+        .alias("score"),
+    ).withColumn("keep", (F.col("score") < 5).cast("int"))
+
+
+SQL_URL_QUALITY_GATE = """
+WITH u AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CASE
+           WHEN doc_id % 5 = 0 THEN 'http://' || source
+                || '.test/casino/bonus-' || CAST(doc_id AS VARCHAR)
+           WHEN doc_id % 5 = 1 THEN 'http://xxx.' || source
+                || '.test/p/' || CAST(doc_id AS VARCHAR)
+           WHEN doc_id % 5 = 2 THEN 'http://' || source
+                || '.test/a/b/c/d/e/f/g/' || CAST(doc_id AS VARCHAR)
+           WHEN doc_id % 5 = 3 THEN 'http://' || source
+                || '.test/id/' || CAST(doc_id * 1234567 AS VARCHAR)
+           ELSE 'http://' || source || '.test/p/'
+                || CAST(doc_id AS VARCHAR) || '/view'
+         END AS url
+  FROM documents),
+f AS (
+  SELECT doc_id, url,
+         CAST((CASE WHEN instr(url, 'casino') > 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN instr(url, 'xxx') > 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN instr(url, 'webcam') > 0 THEN 1 ELSE 0 END)
+            AS INTEGER) AS blocklist_hits,
+         CAST(length(url) - length(replace(url, '/', ''))
+            AS INTEGER) AS path_depth,
+         CAST(length(url) - length(regexp_replace(url, '[0-9]', '', 'g'))
+            AS INTEGER) AS digit_count
+  FROM u)
+SELECT doc_id, url, blocklist_hits, path_depth, digit_count,
+       CAST(blocklist_hits * 5 + greatest(path_depth - 7, 0)
+          + (CASE WHEN digit_count >= 6 THEN 1 ELSE 0 END)
+          AS INTEGER) AS score,
+       CAST(CASE WHEN blocklist_hits * 5 + greatest(path_depth - 7, 0)
+                    + (CASE WHEN digit_count >= 6 THEN 1 ELSE 0 END) < 5
+            THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM f
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_paragraph": (q_dedup_paragraph, SQL_DEDUP_PARAGRAPH),
@@ -4372,4 +4617,7 @@ ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "events_tumbling_window": (q_events_tumbling_window, SQL_EVENTS_TUMBLING_WINDOW),
     "events_session_window": (q_events_session_window, SQL_EVENTS_SESSION_WINDOW),
     "events_quantiles": (q_events_quantiles, SQL_EVENTS_QUANTILES),
+    "decontam_embedding": (q_decontam_embedding, SQL_DECONTAM_EMBEDDING),
+    "text_ngram_diversity": (q_text_ngram_diversity, SQL_TEXT_NGRAM_DIVERSITY),
+    "url_quality_gate": (q_url_quality_gate, SQL_URL_QUALITY_GATE),
 }

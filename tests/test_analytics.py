@@ -1955,3 +1955,117 @@ def test_dedup_representatives_keep_longest(spark):
         assert out[d].is_rep == (d == 2)
     assert out[7].cluster_id == 7 and out[7].cluster_size == 1
     assert out[7].rep_id == 7 and out[7].is_rep
+
+
+def test_decontam_embedding_matches_numpy_reference(spark):
+    """Literal numpy restatement of the embedding-decontamination gate over
+    the sf0.001 vcorpus: benchmark = planted-near-dup seed vectors, every
+    perturbed +1000000 twin MUST be flagged, and (n_close, max_cosine)
+    match the brute-force answer row for row."""
+    from crawler_spark.plans.analytics_queries import q_decontam_embedding
+
+    raw = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in raw}
+    vcorpus = dict(vecs)
+    for vid, v in vecs.items():
+        if vid % 25 == 0:
+            t = v.copy()
+            t[0] += 0.25
+            vcorpus[vid + 1000000] = t
+    bench = {vid: v for vid, v in vcorpus.items() if vid % 25 == 0 and vid < 1000000}
+    want: dict[int, tuple[int, float]] = {}
+    for vid, v in vcorpus.items():
+        if vid in bench:
+            continue
+        close = []
+        for b in bench.values():
+            c = round(float(v @ b) / (np.linalg.norm(v) * np.linalg.norm(b)), 4)
+            if c >= 0.8:
+                close.append(c)
+        if close:
+            want[vid] = (len(close), max(close))
+
+    got = {
+        r.vec_id: (r.n_close, r.max_cosine)
+        for r in q_decontam_embedding(spark, SF).collect()
+    }
+    assert got == want
+    # every planted twin is contaminated by construction
+    planted = {vid for vid in vcorpus if vid >= 1000000}
+    assert planted <= set(got)
+    for vid in planted:
+        assert got[vid][1] > 0.9
+
+
+def test_text_ngram_diversity_matches_python_reference(spark):
+    """Literal Python restatement over the sf0.001 corpus view (with its
+    planted exact copies, which depress diversity): per-source total and
+    distinct 3-gram counts plus the integer-div ratio match exactly."""
+    from collections import defaultdict
+
+    from crawler_spark.plans.analytics_queries import q_text_ngram_diversity
+
+    rows = _corpus(spark).select("source", "text").collect()
+    tot: dict[str, int] = defaultdict(int)
+    dis: dict[str, set] = defaultdict(set)
+    for r in rows:
+        t = [w for w in r.text.strip().lower().split() if w]
+        if len(t) < 3:
+            continue
+        for i in range(len(t) - 2):
+            g = " ".join(t[i : i + 3])
+            tot[r.source] += 1
+            dis[r.source].add(g)
+
+    got = {r.source: r for r in q_text_ngram_diversity(spark, SF).collect()}
+    assert set(got) == set(tot)
+    for s in tot:
+        assert got[s].n_shingles == tot[s], s
+        assert got[s].n_distinct == len(dis[s]), s
+        assert got[s].diversity_e4 == (10000 * len(dis[s])) // tot[s], s
+
+
+def test_url_quality_gate_matches_python_reference(spark):
+    """Literal Python restatement of the RefinedWeb-style URL gate: every
+    synthesized residue class gets the features the plant guarantees —
+    blocklist paths and subdomains reject, deep paths and digit-heavy ids
+    score but survive alone, clean pages keep score 0."""
+    from crawler_spark.plans.analytics_queries import q_url_quality_gate
+
+    docs = _docs(spark).select("doc_id", "source").collect()
+    want = {}
+    for r in docs:
+        m = r.doc_id % 5
+        if m == 0:
+            url = f"http://{r.source}.test/casino/bonus-{r.doc_id}"
+        elif m == 1:
+            url = f"http://xxx.{r.source}.test/p/{r.doc_id}"
+        elif m == 2:
+            url = f"http://{r.source}.test/a/b/c/d/e/f/g/{r.doc_id}"
+        elif m == 3:
+            url = f"http://{r.source}.test/id/{r.doc_id * 1234567}"
+        else:
+            url = f"http://{r.source}.test/p/{r.doc_id}/view"
+        hits = sum(w in url for w in ("casino", "xxx", "webcam"))
+        depth = url.count("/")
+        digits = sum(ch.isdigit() for ch in url)
+        score = hits * 5 + max(depth - 7, 0) + (1 if digits >= 6 else 0)
+        want[r.doc_id] = (url, hits, depth, digits, score, int(score < 5))
+
+    got = {
+        r.doc_id: (
+            r.url, r.blocklist_hits, r.path_depth, r.digit_count, r.score, r.keep
+        )
+        for r in q_url_quality_gate(spark, SF).collect()
+    }
+    assert got == want
+    # class-level guarantees the plant is for
+    for d, (url, hits, _dep, _dig, _sc, keep) in want.items():
+        if d % 5 in (0, 1):
+            assert hits >= 1 and keep == 0, url
+        if d % 5 == 2:
+            assert _dep >= 9 and keep == 1, url
+        if d % 5 == 4:
+            assert _sc == 0 and keep == 1, url
