@@ -76,11 +76,13 @@ ROTATION_AS_OF = 4
 # url_quality_gate enter the window, each displacing one more
 # defer-eligible row (t1_link_extraction, s12_state_recovery,
 # sample_stratified — all green r1+r2+r3, within the K=2 bound at
-# ROTATION_AS_OF=4).
+# ROTATION_AS_OF=4), and dedup_winnowing enters displacing
+# pack_token_shards (green r1+r2+r3, same bound).
 DEFER_TO_TAIL = [
     "t1_link_extraction",
     "s12_state_recovery",
     "sample_stratified",
+    "pack_token_shards",
     "t2_t3_keys",
     "t6_heading_rewrite",
     "text_langid",

@@ -1129,3 +1129,67 @@ def ngram_commonness_weights(
             F.expr("CAST(10000000000 div commonness_e4 AS BIGINT)"),
         )
     )
+
+
+def winnowing_fingerprint_pairs(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    max_df: int = 50,
+    min_shared: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003 —
+    the MOSS algorithm): hash every k-token window, then keep only the
+    MINIMUM hash of each sliding window of ``w`` consecutive gram hashes.
+    The selected values are the document's fingerprint set; the winnowing
+    guarantee is that any shared token run of length >= w + k - 1 puts at
+    least one IDENTICAL fingerprint in both documents, while storing only
+    ~2/(w+1) of the gram hashes — local, position-independent selection,
+    unlike MinHash's global signature.
+
+    Shape at scale: gram hashes are the map-side 60-bit md5-prefix longs
+    of ``duplicated_ngram_flags``; the window minimum is a PARTITIONED
+    window (one shuffle keyed by doc id — never a global sort) over
+    (doc, pos, hash) longs; the fingerprint inverted index joins on 8-byte
+    values with a ``max_df`` hot-list cap (boilerplate fingerprints are
+    dropped exactly like ngram_jaccard_pairs' hot shingles) so no posting
+    list explodes.  Output: candidate pairs (a_id, b_id, n_shared) with
+    n_shared >= ``min_shared`` shared fingerprints.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    t = docs.select(F.col(id_col), toks.alias("__toks"))
+    grams = t.filter(F.size("__toks") >= k).select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(__toks) - {k - 1}), i -> "
+                f"CAST(conv(substring(md5(array_join("
+                f"slice(__toks, i, {k}), ' ')), 1, 15), 16, 10) AS BIGINT))"
+            )
+        ).alias("pos", "h"),
+    )
+    win = Window.partitionBy(id_col).orderBy("pos")
+    fps = (
+        grams.select(
+            id_col,
+            F.min("h").over(win.rowsBetween(-(w - 1), 0)).alias("fp"),
+            F.row_number().over(win).alias("__rn"),
+        )
+        .filter(F.col("__rn") >= w)  # full windows only
+        .select(id_col, "fp")
+        .distinct()
+    )
+    dfc = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
+    idx = fps.join(dfc, "fp").filter(F.col("__df") <= max_df).select(id_col, "fp")
+    a = idx.select(F.col(id_col).alias("a_id"), "fp")
+    b = idx.select(F.col(id_col).alias("b_id"), "fp")
+    return (
+        a.join(b, (a["fp"] == b["fp"]) & (F.col("a_id") < F.col("b_id")))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -4515,6 +4515,56 @@ FROM f
 """
 
 
+def q_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint near-dup candidates (Schleimer et al. 2003,
+    MOSS) over the planted corpus — the locality-based entry in the dedup
+    ladder: unlike MinHash's whole-document signature, winnowing selects
+    per-window minimum gram hashes, so a long shared PASSAGE inside
+    otherwise-different documents is guaranteed a shared fingerprint.
+    The planted near-dups (first word dropped) and exact copies must both
+    surface.  Plan shape: one doc-keyed partitioned window (never global),
+    then the capped inverted-index join of the other dedup ops."""
+    pairs = DD.winnowing_fingerprint_pairs(
+        _corpus(spark, sf_dir), k=4, w=4, max_df=50, min_shared=3
+    )
+    return pairs.select(
+        F.col("a_id").cast("long").alias("a_id"),
+        F.col("b_id").cast("long").alias("b_id"),
+        F.col("n_shared").cast("long").alias("n_shared"),
+    )
+
+
+SQL_DEDUP_WINNOWING = f"""
+WITH {CORPUS_SQL.strip()},
+t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM corpus),
+g AS (
+  SELECT doc_id, i AS pos,
+         ('0x' || substr(md5(array_to_string(toks[i : i + 3], ' ')),
+          1, 15))::BIGINT AS h
+  FROM t, LATERAL unnest(generate_series(1, len(toks) - 3)) s(i)
+  WHERE len(toks) >= 4),
+wm AS (
+  SELECT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+  FROM g),
+fps AS (SELECT DISTINCT doc_id, fp FROM wm WHERE rn >= 4),
+dfc AS (SELECT fp, count(*) AS df FROM fps GROUP BY fp),
+idx AS (
+  SELECT f.doc_id, f.fp FROM fps f JOIN dfc USING (fp) WHERE dfc.df <= 50),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+  FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id,
+       CAST(n_shared AS BIGINT) AS n_shared
+FROM pairs WHERE n_shared >= 3
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_paragraph": (q_dedup_paragraph, SQL_DEDUP_PARAGRAPH),
@@ -4620,4 +4670,5 @@ ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "decontam_embedding": (q_decontam_embedding, SQL_DECONTAM_EMBEDDING),
     "text_ngram_diversity": (q_text_ngram_diversity, SQL_TEXT_NGRAM_DIVERSITY),
     "url_quality_gate": (q_url_quality_gate, SQL_URL_QUALITY_GATE),
+    "dedup_winnowing": (q_dedup_winnowing, SQL_DEDUP_WINNOWING),
 }

@@ -2069,3 +2069,52 @@ def test_url_quality_gate_matches_python_reference(spark):
             assert _dep >= 9 and keep == 1, url
         if d % 5 == 4:
             assert _sc == 0 and keep == 1, url
+
+
+def test_winnowing_fingerprint_pairs_matches_python_reference(spark):
+    """Literal restatement of robust-winnowing candidate generation
+    (Schleimer et al. 2003) on hand-built docs: a long shared passage
+    embedded in otherwise-different documents MUST share fingerprints
+    (the w+k-1 guarantee), unrelated docs share none, and the pair counts
+    match a brute-force Python winnow exactly."""
+    from crawler_spark.operators.dedup import winnowing_fingerprint_pairs
+
+    k, w = 4, 4
+    passage = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (1, f"alpha beta gamma {passage} delta epsilon zeta eta theta"),
+        (2, f"one two three four five {passage} six seven eight nine ten"),
+        (3, "totally unrelated words nothing shared here at all by design"),
+        (4, f"alpha beta gamma {passage} delta epsilon zeta eta theta"),  # copy of 1
+        (5, "shortdoc"),  # < k tokens: no grams
+    ]
+
+    def fingerprints(text: str) -> set[int]:
+        toks = text.strip().lower().split()
+        if len(toks) < k:
+            return set()
+        hs = [
+            int(hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()[:15], 16)
+            for i in range(len(toks) - k + 1)
+        ]
+        return {min(hs[i - w + 1 : i + 1]) for i in range(w - 1, len(hs))}
+
+    fps = {d: fingerprints(t) for d, t in docs}
+    want = {}
+    ids = sorted(fps)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            n = len(fps[a] & fps[b])
+            if n >= 3:
+                want[(a, b)] = n
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.a_id, r.b_id): r.n_shared
+        for r in winnowing_fingerprint_pairs(df, k=k, w=w, min_shared=3).collect()
+    }
+    assert got == want
+    assert (1, 2) in got and (1, 4) in got and (2, 4) in got  # shared passage
+    assert not any(3 in p or 5 in p for p in got)  # unrelated/short never pair
+    # exact copies share their entire fingerprint set
+    assert got[(1, 4)] == len(fps[1])
