@@ -77,12 +77,14 @@ ROTATION_AS_OF = 4
 # defer-eligible row (t1_link_extraction, s12_state_recovery,
 # sample_stratified — all green r1+r2+r3, within the K=2 bound at
 # ROTATION_AS_OF=4), and dedup_winnowing enters displacing
-# pack_token_shards (green r1+r2+r3, same bound).
+# pack_token_shards (green r1+r2+r3, same bound), and link_anchor_stats
+# enters displacing tfidf_top_terms (green r1+r3, same bound).
 DEFER_TO_TAIL = [
     "t1_link_extraction",
     "s12_state_recovery",
     "sample_stratified",
     "pack_token_shards",
+    "tfidf_top_terms",
     "t2_t3_keys",
     "t6_heading_rewrite",
     "text_langid",

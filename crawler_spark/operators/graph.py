@@ -116,3 +116,43 @@ def pagerank_integer(
             ).cast("long").alias("rank_e12"),
         )
     return ranks
+
+
+#: anchor-tag shape of a problem-page link, capturing (target id, anchor
+#: text) — the same href walk as PROBLEM_HREF_RE plus the link's text node.
+PROBLEM_ANCHOR_RE = r'<a href="/problem/([0-9]+)/view">([^<]*)</a>'
+
+
+def link_anchor_edges(
+    pages: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "description",
+) -> DataFrame:
+    """(src, dst, anchor) edges from page HTML: every problem-page anchor
+    tag becomes one edge carrying its anchor TEXT — the classic web-corpus
+    relevance signal (anchor text describes the TARGET page better than
+    the target's own boilerplate; every large-scale web index aggregates
+    it per target).
+
+    Pure map-side: regexp_extract_all over the full tag (group 0-equivalent
+    via the whole-pattern match), explode, then per-field regexp_extract —
+    no shuffle, and the HTML column never survives past this projection.
+    Both engines replay the identical regex, so the oracle sees the same
+    edge set.
+    """
+    tags = F.regexp_extract_all(
+        F.col(html_col), F.lit(PROBLEM_ANCHOR_RE), 0
+    )
+    return (
+        pages.select(
+            F.col(id_col).cast("long").alias("src"),
+            F.explode(tags).alias("__tag"),
+        )
+        .select(
+            "src",
+            F.regexp_extract("__tag", PROBLEM_ANCHOR_RE, 1)
+            .cast("long")
+            .alias("dst"),
+            F.regexp_extract("__tag", PROBLEM_ANCHOR_RE, 2).alias("anchor"),
+        )
+    )

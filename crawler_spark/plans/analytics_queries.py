@@ -4565,6 +4565,86 @@ FROM pairs WHERE n_shared >= 3
 """
 
 
+def q_link_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target anchor-text aggregation over the crawl link graph — the
+    classic web-index relevance signal (anchor text describes the TARGET
+    page better than the target's own boilerplate; PageRank's companion
+    since the original Google paper, Brin & Page 1998 §2.2).  Edges come
+    from the same regexp walk as ``link_pagerank`` but carry the anchor's
+    text node (`graph.link_anchor_edges`); the rollup is one (dst) hash
+    aggregate over (dst, src, anchor) rows with map-side partials — the
+    HTML column dies at the extraction projection and never shuffles.
+    Fixture plants variable in-link shapes: every 17th page has no links
+    (so some targets lose in-links), anchors alternate a target-specific
+    'p<id>' and a shared 'see also'.  Output per linked-to page: in-link
+    count, distinct linking pages, distinct anchor texts."""
+    from crawler_spark.operators.graph import link_anchor_edges
+
+    nodes = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("node_id")
+    )
+    n = nodes.count()
+    x = ((F.col("node_id") * 31 + 17) % n).cast("string")
+    y = ((F.col("node_id") * 31 + 34) % n).cast("string")
+    desc = F.when(
+        F.col("node_id") % 17 == 0, F.lit("archived page, links removed")
+    ).otherwise(
+        F.concat(
+            F.lit('see <a href="/problem/'), x, F.lit('/view">p'), x,
+            F.lit('</a> and <a href="/problem/'), y,
+            F.lit('/view">see also</a>'),
+        )
+    )
+    pages = nodes.select(
+        F.col("node_id").alias("doc_id"), desc.alias("description")
+    )
+    e = link_anchor_edges(pages)
+    return (
+        e.groupBy("dst")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_inlinks"),
+            F.countDistinct("src").cast("long").alias("n_srcs"),
+            F.countDistinct("anchor").cast("long").alias("n_anchors"),
+        )
+        .select(F.col("dst").cast("long").alias("dst"),
+                "n_inlinks", "n_srcs", "n_anchors")
+    )
+
+
+SQL_LINK_ANCHOR_STATS = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+pages AS (
+  SELECT CAST(doc_id AS BIGINT) AS src,
+         CASE WHEN doc_id % 17 = 0 THEN 'archived page, links removed'
+              ELSE 'see <a href="/problem/'
+                   || CAST((doc_id * 31 + 17) % nn.n AS VARCHAR)
+                   || '/view">p'
+                   || CAST((doc_id * 31 + 17) % nn.n AS VARCHAR)
+                   || '</a> and <a href="/problem/'
+                   || CAST((doc_id * 31 + 34) % nn.n AS VARCHAR)
+                   || '/view">see also</a>'
+         END AS description
+  FROM documents, nn),
+tags AS (
+  SELECT src,
+         unnest(regexp_extract_all(description,
+           '<a href="/problem/([0-9]+)/view">([^<]*)</a>', 0)) AS tag
+  FROM pages),
+e AS (
+  SELECT src,
+         CAST(regexp_extract(tag,
+           '<a href="/problem/([0-9]+)/view">([^<]*)</a>', 1) AS BIGINT) AS dst,
+         regexp_extract(tag,
+           '<a href="/problem/([0-9]+)/view">([^<]*)</a>', 2) AS anchor
+  FROM tags)
+SELECT CAST(dst AS BIGINT) AS dst,
+       CAST(count(*) AS BIGINT) AS n_inlinks,
+       CAST(count(DISTINCT src) AS BIGINT) AS n_srcs,
+       CAST(count(DISTINCT anchor) AS BIGINT) AS n_anchors
+FROM e GROUP BY dst
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_paragraph": (q_dedup_paragraph, SQL_DEDUP_PARAGRAPH),
@@ -4671,4 +4751,5 @@ ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "text_ngram_diversity": (q_text_ngram_diversity, SQL_TEXT_NGRAM_DIVERSITY),
     "url_quality_gate": (q_url_quality_gate, SQL_URL_QUALITY_GATE),
     "dedup_winnowing": (q_dedup_winnowing, SQL_DEDUP_WINNOWING),
+    "link_anchor_stats": (q_link_anchor_stats, SQL_LINK_ANCHOR_STATS),
 }

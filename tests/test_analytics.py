@@ -2118,3 +2118,37 @@ def test_winnowing_fingerprint_pairs_matches_python_reference(spark):
     assert not any(3 in p or 5 in p for p in got)  # unrelated/short never pair
     # exact copies share their entire fingerprint set
     assert got[(1, 4)] == len(fps[1])
+
+
+def test_link_anchor_edges_and_stats(spark):
+    """Anchor-edge extraction literal check: multi-anchor pages emit one
+    (src, dst, anchor) row per tag in order of appearance, linkless pages
+    emit nothing, and the per-target rollup counts distinct sources and
+    anchor texts exactly."""
+    from crawler_spark.operators.graph import link_anchor_edges
+
+    df = spark.createDataFrame(
+        [
+            (1, 'see <a href="/problem/7/view">p7</a> and '
+                '<a href="/problem/9/view">see also</a>'),
+            (2, '<a href="/problem/7/view">seven</a> trailing text'),
+            (3, "no links at all"),
+            (4, '<a href="/problem/7/view">p7</a>'),  # same anchor as src 1
+        ],
+        "doc_id long, description string",
+    )
+    e = link_anchor_edges(df)
+    got = {(r.src, r.dst, r.anchor) for r in e.collect()}
+    assert got == {
+        (1, 7, "p7"), (1, 9, "see also"), (2, 7, "seven"), (4, 7, "p7"),
+    }
+    stats = {
+        r.dst: (r.n_inlinks, r.n_srcs, r.n_anchors)
+        for r in e.groupBy("dst").agg(
+            F.count(F.lit(1)).alias("n_inlinks"),
+            F.countDistinct("src").alias("n_srcs"),
+            F.countDistinct("anchor").alias("n_anchors"),
+        ).collect()
+    }
+    assert stats[7] == (3, 3, 2)  # 'p7' twice, 'seven' once
+    assert stats[9] == (1, 1, 1)
