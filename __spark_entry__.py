@@ -79,7 +79,15 @@ ROTATION_AS_OF = 4
 # ROTATION_AS_OF=4), and dedup_winnowing enters displacing
 # pack_token_shards (green r1+r2+r3, same bound), and link_anchor_stats
 # enters displacing tfidf_top_terms (green r1+r3, same bound).
+# Closing growth: tokenizer_bpe_pairs and minhash_estimate_eval enter the
+# window displacing the LAST two defer-eligible window rows —
+# ann_ivf_nprobe (green r2+r3) and events_tumbling_window (green r1+r3),
+# both staleness 2 at ROTATION_AS_OF=4, the bound.  Every other window row
+# holds exactly one green driver round (r4), so no further registry growth
+# is possible this round without violating the >=2-greens defer invariant.
 DEFER_TO_TAIL = [
+    "ann_ivf_nprobe",
+    "events_tumbling_window",
     "t1_link_extraction",
     "s12_state_recovery",
     "sample_stratified",

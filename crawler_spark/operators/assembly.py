@@ -503,3 +503,49 @@ def doremi_weights(
         )
         .select("domain", "n_docs", "excess_e4", "weight_e6", "final_e6")
     )
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int = 50,
+) -> DataFrame:
+    """Tokenizer-training preparation: corpus-wide adjacent-symbol pair
+    frequencies — the statistic byte-pair encoding's merge rounds maximize
+    (Sennrich, Haddow & Birch 2016, "Neural Machine Translation of Rare
+    Words with Subword Units", ACL).  Words are the whitespace tokens of
+    ``lower(trim(text))``; symbols start as single characters, so every
+    occurrence of every in-word character bigram votes once
+    (occurrence-weighted — BPE weighs merge candidates by word frequency).
+    This is the per-round counting kernel; a full merge LOOP re-pairs only
+    the words containing the chosen pair each round (the documented
+    extension), exactly as the reference's crawl loop re-fetches only the
+    due subset per generation.
+
+    Returns the ``top_k`` (pair, n_occ) rows under the total order
+    (n_occ DESC, pair ASC) — strict (pair is the group key), so the LIMIT
+    boundary is deterministic in any engine.
+
+    Scale shape: both explodes are pure map-side generators (no shuffle);
+    the only exchange is the groupBy(pair) hash aggregate whose key domain
+    is bounded by alphabet² — map-side partial combine collapses virtually
+    all traffic before the shuffle — and the top-k is a TakeOrdered, never
+    a global sort.  At 100 TB the pair table stays KB-sized regardless of
+    corpus size, so the reduce side is a formality.
+    """
+    words = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+        .orderBy(F.col("n_occ").desc(), F.col("pair").asc())
+        .limit(top_k)
+    )

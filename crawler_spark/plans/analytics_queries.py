@@ -4645,6 +4645,169 @@ FROM e GROUP BY dst
 """
 
 
+def q_tokenizer_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training prep (operators/assembly.bpe_pair_counts): the
+    corpus-wide adjacent character-pair frequencies BPE's merge rounds
+    maximize (Sennrich et al. 2016), over the raw documents table — top 50
+    pairs under the strict (n_occ DESC, pair ASC) total order.  The one
+    corpus statistic every from-scratch tokenizer build starts from; at
+    100 TB the pair table stays alphabet²-bounded, so the groupBy's
+    map-side combine removes essentially all shuffle traffic."""
+    from crawler_spark.operators.assembly import bpe_pair_counts
+
+    return bpe_pair_counts(
+        _t(spark, sf_dir, "documents"), text_col="text", top_k=50
+    )
+
+
+SQL_TOKENIZER_BPE_PAIRS = """
+WITH words AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents),
+pairs AS (
+  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                i -> substr(w, i, 2))) AS pair
+  FROM words WHERE len(w) >= 2)
+SELECT pair, CAST(count(*) AS BIGINT) AS n_occ
+FROM pairs GROUP BY pair
+ORDER BY n_occ DESC, pair ASC
+LIMIT 50
+"""
+
+
+def q_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator self-evaluation (the dedup analog of
+    ann_recall_eval): for every LSH candidate pair, the signature-agreement
+    estimate vs the TRUE distinct-3-shingle Jaccard, both as exact integer
+    e4 ratios — est_e4 = 625·(matching sig positions) since
+    10000/num_perm = 625 exactly, true_e4 = (10000·|A∩B|) div |A∪B| —
+    plus the absolute estimator error.  This is the measurement a 100-TB
+    dedup run uses to TUNE (num_perm, bands) before committing a
+    corpus-wide pass: Broder's estimator is unbiased with σ =
+    √(J(1−J)/P), so at P=16 errors up to ~1250 e4 are expected — the
+    planted exact copies must come back est_e4 = true_e4 = 10000.
+
+    Scale shape: candidate pairs (LSH-bounded, tiny vs corpus) are
+    BROADCAST to the distinct-shingle table, so the intersection count is
+    a semi-join-filtered hash aggregate — the corpus-sized side never
+    joins itself; per-doc set sizes reuse the same distinct-shingle frame.
+    """
+    c = _corpus(spark, sf_dir)
+    sig = DD.minhash_signatures(c, num_perm=16)
+    cand = DD.lsh_candidate_pairs(sig, num_perm=16, bands=4, min_est_jaccard=0.5)
+    pairs = cand.select(
+        F.col("a_id").cast("long").alias("a_id"),
+        F.col("b_id").cast("long").alias("b_id"),
+        # est_jaccard = round(eq/16, 4) is binary-exact (denominator 16),
+        # so ×10000 is integer-exact: always a multiple of 625
+        (F.col("est_jaccard") * 10000).cast("long").alias("est_e4"),
+    )
+    dsh = DD.exploded_shingles(c, k=3, distinct=True).select("doc_id", "shingle")
+    sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    inter = (
+        dsh.withColumnRenamed("doc_id", "a_id")
+        .join(F.broadcast(pairs.select("a_id", "b_id")), "a_id")
+        .join(dsh.withColumnRenamed("doc_id", "b_id"), ["b_id", "shingle"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("n_a")),
+            "a_id",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("n_b")),
+            "b_id",
+        )
+        .join(inter, ["a_id", "b_id"], "left")
+        .select(
+            "a_id",
+            "b_id",
+            "est_e4",
+            F.expr(
+                "(10000 * coalesce(n_inter, 0L)) div "
+                "(n_a + n_b - coalesce(n_inter, 0L))"
+            ).cast("long").alias("true_e4"),
+        )
+        .withColumn(
+            "err_e4", F.expr("abs(est_e4 - true_e4)").cast("long")
+        )
+    )
+
+
+def _minhash_eval_sql(num_perm: int = 16, bands: int = 4) -> str:
+    """Oracle for q_minhash_estimate_eval: the same sigs/banded CTE text
+    `_minhash_sql` generates (kept standalone rather than refactoring that
+    builder — its output string feeds two long-green driver oracles), with
+    the pair estimate as an exact integer and a true-Jaccard join tail."""
+    rows = num_perm // bands
+    mins = ",\n         ".join(
+        f"min(CAST(concat('0x', substr(md5('{i}:' || shingle), 1, 15)) "
+        f"AS BIGINT)) AS s{i}"
+        for i in range(num_perm)
+    )
+    band_selects = []
+    for b in range(bands):
+        key = " || '|' || ".join(
+            f"CAST(s{b * rows + j} AS VARCHAR)" for j in range(rows)
+        )
+        band_selects.append(
+            f"SELECT doc_id, sig, {b} AS band_id, md5({key}) AS band_key FROM sigv"
+        )
+    bands_sql = "\n  UNION ALL\n  ".join(band_selects)
+    sig_list = ", ".join(f"s{i}" for i in range(num_perm))
+    eq_sum = " + ".join(
+        f"(CASE WHEN a.sig[{i + 1}] = b.sig[{i + 1}] THEN 1 ELSE 0 END)"
+        for i in range(num_perm)
+    )
+    unit = 10000 // num_perm
+    true_e4 = (
+        "(10000 * coalesce(i.n_inter, 0)) // "
+        "(za.n_sh + zb.n_sh - coalesce(i.n_inter, 0))"
+    )
+    return f"""
+WITH {CORPUS_SQL.strip()},
+{SHINGLE3_SQL.strip()},
+sigs AS (
+  SELECT doc_id,
+         {mins}
+  FROM shingles GROUP BY doc_id
+),
+sigv AS (SELECT *, [{sig_list}] AS sig FROM sigs),
+banded AS (
+  {bands_sql}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         ({eq_sum}) * {unit} AS est_e4
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+pairs AS (SELECT * FROM cand WHERE est_e4 >= 5000),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT p.a_id, p.b_id, count(*) AS n_inter
+  FROM pairs p
+  JOIN shingles sa ON sa.doc_id = p.a_id
+  JOIN shingles sb ON sb.doc_id = p.b_id AND sb.shingle = sa.shingle
+  GROUP BY p.a_id, p.b_id
+)
+SELECT CAST(p.a_id AS BIGINT) AS a_id, CAST(p.b_id AS BIGINT) AS b_id,
+       CAST(p.est_e4 AS BIGINT) AS est_e4,
+       CAST({true_e4} AS BIGINT) AS true_e4,
+       CAST(abs(p.est_e4 - {true_e4}) AS BIGINT) AS err_e4
+FROM pairs p
+JOIN sizes za ON za.doc_id = p.a_id
+JOIN sizes zb ON zb.doc_id = p.b_id
+LEFT JOIN inter i ON i.a_id = p.a_id AND i.b_id = p.b_id
+"""
+
+
+SQL_MINHASH_ESTIMATE_EVAL = _minhash_eval_sql()
+
+
 ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_paragraph": (q_dedup_paragraph, SQL_DEDUP_PARAGRAPH),
@@ -4752,4 +4915,6 @@ ANALYTICS_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "url_quality_gate": (q_url_quality_gate, SQL_URL_QUALITY_GATE),
     "dedup_winnowing": (q_dedup_winnowing, SQL_DEDUP_WINNOWING),
     "link_anchor_stats": (q_link_anchor_stats, SQL_LINK_ANCHOR_STATS),
+    "tokenizer_bpe_pairs": (q_tokenizer_bpe_pairs, SQL_TOKENIZER_BPE_PAIRS),
+    "minhash_estimate_eval": (q_minhash_estimate_eval, SQL_MINHASH_ESTIMATE_EVAL),
 }

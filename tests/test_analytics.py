@@ -2152,3 +2152,69 @@ def test_link_anchor_edges_and_stats(spark):
     }
     assert stats[7] == (3, 3, 2)  # 'p7' twice, 'seven' once
     assert stats[9] == (1, 1, 1)
+
+
+def test_minhash_estimate_eval_matches_python_replay(spark):
+    """Full pure-Python replay of the estimator self-evaluation at
+    sf0.001: re-derive the 16-perm/4-band minhash pipeline (60-bit md5
+    prefixes, band keys, eq>=8 candidates) AND the true distinct-3-shingle
+    Jaccard per pair, then require row-exact agreement with the Spark
+    query — estimator output, ground truth, and error columns all integer
+    e4.  Also pins the headline property: every planted exact copy that
+    survives the LSH gate reports est_e4 = true_e4 = 10000, err 0."""
+    import hashlib
+    from itertools import combinations
+
+    from crawler_spark.plans.analytics_queries import q_minhash_estimate_eval
+
+    sf = "/root/testdata/sf0.001"
+    base = {
+        int(r.doc_id): r.text
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    corpus = dict(base)
+    for d, t in base.items():
+        if d % 10 == 0:
+            corpus[d + 1000000] = t[t.find(" ") + 1 :]
+        if d % 17 == 0:
+            corpus[d + 2000000] = t
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    sh = {
+        d: {
+            " ".join(w[i : i + 3])
+            for i in range(len(w) - 2)
+        }
+        for d, t in corpus.items()
+        if len(w := t.split()) >= 3
+    }
+    sig = {
+        d: [
+            min(int(md5(f"{i}:{s}")[:15], 16) for s in shs)
+            for i in range(16)
+        ]
+        for d, shs in sh.items()
+    }
+    bkeys = {
+        d: {md5("|".join(str(x) for x in s[b * 4 : b * 4 + 4])) for b in range(4)}
+        for d, s in sig.items()
+    }
+    want = {}
+    for a, b in combinations(sorted(sig), 2):
+        if not (bkeys[a] & bkeys[b]):
+            continue
+        eq = sum(1 for x, y in zip(sig[a], sig[b]) if x == y)
+        if eq < 8:
+            continue
+        inter = len(sh[a] & sh[b])
+        true_e4 = (10000 * inter) // (len(sh[a]) + len(sh[b]) - inter)
+        want[(a, b)] = (eq * 625, true_e4, abs(eq * 625 - true_e4))
+
+    got = {
+        (r.a_id, r.b_id): (r.est_e4, r.true_e4, r.err_e4)
+        for r in q_minhash_estimate_eval(spark, sf).collect()
+    }
+    assert got == want and len(got) > 0
+    exact = {p: v for p, v in got.items() if p[1] == p[0] + 2000000}
+    assert exact and all(v == (10000, 10000, 0) for v in exact.values())

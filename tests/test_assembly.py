@@ -358,3 +358,27 @@ def test_doremi_weights_matches_python_reference(spark):
         assert got[dom].final_e6 == final, dom
     # clamped domain carries zero excess but nonzero smoothed weight
     assert got["d2"].excess_e4 == 0 and got["d2"].final_e6 > 0
+
+
+def test_bpe_pair_counts_matches_python_reference(spark):
+    """The BPE merge-round counting kernel replays exactly in pure Python:
+    occurrence-weighted in-word character bigram counts, top-50 under the
+    strict (count DESC, pair ASC) total order — including the order and
+    the LIMIT boundary."""
+    from collections import Counter
+
+    from crawler_spark.operators.assembly import bpe_pair_counts
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    got = [
+        (r.pair, r.n_occ)
+        for r in bpe_pair_counts(docs, top_k=50).collect()
+    ]
+
+    counts: Counter[str] = Counter()
+    for row in docs.select("text").collect():
+        for w in row.text.strip().lower().split():
+            if len(w) >= 2:
+                counts.update(w[i : i + 2] for i in range(len(w) - 1))
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    assert got == want
