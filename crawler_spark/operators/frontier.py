@@ -144,3 +144,40 @@ def admission_budget(
         .filter(F.col("__rn") <= F.col("__limit"))
         .drop("__rn", "__limit", "limit")
     )
+
+
+def host_concentration(df: DataFrame, host_col: str = "host") -> DataFrame:
+    """Frontier skew audit — the one-row concentration summary an operator
+    reads BEFORE picking ``salt_hot_hosts`` thresholds: host count, URL
+    count, the hottest host's share in ppm, the Herfindahl–Hirschman
+    concentration index over integer ppm shares (hhi_e6: 10^6 = monopoly,
+    ~10^6/n_hosts = uniform), and the hottest host itself (min host name on
+    ties — a total order).  All integer arithmetic (truncating ``div``), so
+    any engine replays it bit-for-bit.
+
+    Scale shape: one groupBy(host) hash aggregate with map-side combine —
+    the frontier's URL rows cross exactly one exchange, as (host, count)
+    partials, never as URL strings — then the ONE total row is broadcast
+    back onto the (tiny) host table for the final single-row rollup.
+    """
+    hosts = df.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = hosts.agg(
+        F.sum("n").cast("long").alias("__total"),
+        F.max("n").cast("long").alias("__max_n"),
+    )
+    per = hosts.crossJoin(F.broadcast(tot)).withColumn(
+        "share_ppm", F.expr("(1000000 * n) div __total")
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hosts"),
+        F.max("__total").cast("long").alias("n_urls"),
+        F.max("share_ppm").cast("long").alias("max_share_ppm"),
+        F.expr("CAST(sum(share_ppm * share_ppm) div 1000000 AS BIGINT)").alias(
+            "hhi_e6"
+        ),
+        F.min(F.when(F.col("n") == F.col("__max_n"), F.col("host"))).alias(
+            "hot_host"
+        ),
+    )

@@ -139,3 +139,36 @@ def test_salt_hot_hosts_bounds_bucket_skew(spark):
     buckets = hot.groupBy("host_bucket").count().collect()
     assert len(buckets) > 1
     assert max(r["count"] for r in buckets) <= 2 * n_hot // 8
+
+
+def test_host_concentration_matches_python_reference(spark):
+    """The skew audit replays exactly in Python: a 50%-hot-host frontier
+    reports the hot host, its ppm share, and the integer HHI bit-for-bit;
+    a uniform frontier reports HHI ~ 10^6 / n_hosts."""
+    from crawler_spark.operators.frontier import host_concentration
+
+    rows = [(f"u{i}", "hot.test" if i % 2 == 0 else f"h{i % 7}.test")
+            for i in range(1400)]
+    df = spark.createDataFrame(rows, "url string, host string")
+    got = host_concentration(df).collect()[0]
+
+    from collections import Counter
+
+    c = Counter(h for _, h in rows)
+    total = sum(c.values())
+    shares = {h: (1_000_000 * n) // total for h, n in c.items()}
+    max_n = max(c.values())
+    assert got.n_hosts == len(c)
+    assert got.n_urls == total
+    assert got.max_share_ppm == max(shares.values())
+    assert got.hhi_e6 == sum(s * s for s in shares.values()) // 1_000_000
+    assert got.hot_host == min(h for h, n in c.items() if n == max_n)
+    assert got.max_share_ppm == 500_000 and got.hot_host == "hot.test"
+
+    uni = spark.createDataFrame(
+        [(f"u{i}", f"h{i % 100}.test") for i in range(1000)],
+        "url string, host string",
+    )
+    u = host_concentration(uni).collect()[0]
+    assert u.n_hosts == 100 and u.max_share_ppm == 10_000
+    assert u.hhi_e6 == (100 * 10_000 * 10_000) // 1_000_000  # uniform floor
