@@ -157,7 +157,9 @@ def gopher_quality_flags(
     ).cast("long")
     n_stop = None
     for s in GOPHER_STOPWORDS:
-        hit = t.rlike(rf"\b{s}\b").cast("long")
+        # case-insensitive, as the published gate matches lower-cased
+        # tokens: sentence-initial 'The'/'With' must count
+        hit = F.lower(t).rlike(rf"\b{s}\b").cast("long")
         n_stop = hit if n_stop is None else n_stop + hit
     d = d.select(
         id_col,
@@ -215,9 +217,10 @@ def c4_line_clean(
     """C4-style line-level cleaning (Raffel et al. 2020, "Exploring the
     Limits of Transfer Learning with a Unified Text-to-Text Transformer",
     §2.2): keep only lines that end in terminal punctuation (. ! ? \"),
-    have >= ``min_line_words`` words, and do not mention 'javascript';
-    drop whole documents containing 'lorem ipsum' or '{', or with fewer
-    than ``min_kept_lines`` surviving lines.
+    have >= ``min_line_words`` words, and do not mention 'javascript'
+    (case-insensitive — 'JavaScript' is the canonical spelling); drop
+    whole documents containing 'lorem ipsum' (case-insensitive) or '{',
+    or with fewer than ``min_kept_lines`` surviving lines.
 
     Returns (id, n_lines, n_kept_lines, has_lorem, has_brace, keep,
     text_clean) with text_clean the surviving lines re-joined by newline.
@@ -231,9 +234,11 @@ def c4_line_clean(
         lines,
         lambda x: x.rlike('[.!?"]$')
         & (F.size(F.split(x, " ")) >= min_line_words)
-        & ~x.contains("javascript"),
+        # case-insensitive: the canonical real-world spellings are
+        # 'JavaScript' / 'Lorem Ipsum', and C4's filter matches them
+        & ~F.lower(x).contains("javascript"),
     )
-    has_lorem = t.contains("lorem ipsum")
+    has_lorem = F.lower(t).contains("lorem ipsum")
     has_brace = t.contains("{")
     n_kept = F.size(kept).cast("long")
     return df.select(

@@ -801,6 +801,36 @@ def embedding_near_pairs(
     )
 
 
+def _lower_tokens(text_col: str) -> F.Column:
+    """Whitespace tokens of lower(trim(text)) — the shared tokenizer for
+    every token-window operator below (and their DuckDB oracles)."""
+    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+
+def _gram_hash_sql(n: int, toks: str = "__toks", i: str = "i") -> str:
+    """60-bit md5-prefix hash of the ``n``-gram starting at 1-based token
+    index ``i`` — THE parity-critical gram-hash definition every DuckDB
+    oracle mirrors literally.  Single-sourced: a change to the prefix
+    width or join delimiter lands in every token-window operator at once
+    instead of silently drifting between four inlined copies."""
+    return (
+        f"CAST(conv(substring(md5(array_join("
+        f"slice({toks}, {i}, {n}), ' ')), 1, 15), 16, 10) AS BIGINT)"
+    )
+
+
+def _gram_hashes_expr(n: int, with_pos: bool = False) -> str:
+    """``transform(...)`` producing the array of window hashes over
+    ``__toks`` — plain BIGINTs, or (pos, gram) structs for positional
+    consumers (ExactSubstr removal)."""
+    body = (
+        f"struct(i AS pos, {_gram_hash_sql(n)} AS gram)"
+        if with_pos
+        else _gram_hash_sql(n)
+    )
+    return f"transform(sequence(1, size(__toks) - {n - 1}), i -> {body})"
+
+
 def duplicated_ngram_flags(
     docs: DataFrame,
     n: int = 8,
@@ -825,21 +855,14 @@ def duplicated_ngram_flags(
     flagged) — n_grams counts the doc's DISTINCT windows; docs shorter
     than ``n`` tokens have zero windows and are never flagged.
     """
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    t = docs.select(F.col(id_col), toks.alias("__toks"))
+    t = docs.select(F.col(id_col), _lower_tokens(text_col).alias("__toks"))
     # sequence(a, b) steps DOWNWARD when a > b, so short docs must be
     # filtered out before building the window range, not clamped inside it
     grams = (
         t.filter(F.size("__toks") >= n)
         .select(
             id_col,
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(__toks) - {n - 1}), i -> "
-                    f"CAST(conv(substring(md5(array_join("
-                    f"slice(__toks, i, {n}), ' ')), 1, 15), 16, 10) AS BIGINT))"
-                )
-            ).alias("gram"),
+            F.explode(F.expr(_gram_hashes_expr(n))).alias("gram"),
         )
         .distinct()
     )
@@ -895,21 +918,13 @@ def duplicated_ngram_removal(
     text_clean) — text_clean is the lowercased surviving words joined by
     single spaces (tokenization is lossy by design, as in the flags op).
     """
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    t = docs.select(F.col(id_col), toks.alias("__toks"))
+    t = docs.select(F.col(id_col), _lower_tokens(text_col).alias("__toks"))
     # sequence(a, b) steps DOWNWARD when a > b — filter short docs first
     pos_grams = (
         t.filter(F.size("__toks") >= n)
         .select(
             id_col,
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(__toks) - {n - 1}), i -> "
-                    f"struct(i AS pos, CAST(conv(substring(md5(array_join("
-                    f"slice(__toks, i, {n}), ' ')), 1, 15), 16, 10) AS BIGINT)"
-                    f" AS gram))"
-                )
-            ).alias("__s"),
+            F.explode(F.expr(_gram_hashes_expr(n, with_pos=True))).alias("__s"),
         )
         .select(id_col, F.col("__s.pos").alias("pos"), F.col("__s.gram").alias("gram"))
     )
@@ -924,14 +939,17 @@ def duplicated_ngram_removal(
             & (F.col("pos") == F.col("__f.p"))
         )
     )
+    # collect_set in ONE doc-keyed aggregate: a separate distinct() before
+    # the groupBy would shuffle the exploded (doc, rm_idx) stream twice —
+    # at the op's own 100-TB framing that stream is n× the duplicated
+    # window count, so the redundant exchange would dominate the stage
     covered = (
         dup_occurrences.select(
             id_col,
             F.explode(F.expr(f"sequence(pos, pos + {n - 1})")).alias("rm_idx"),
         )
-        .distinct()
         .groupBy(id_col)
-        .agg(F.array_sort(F.collect_list("rm_idx")).alias("__rm"))
+        .agg(F.array_sort(F.collect_set("rm_idx")).alias("__rm"))
     )
     out = (
         t.join(covered, id_col, "left")
@@ -1091,18 +1109,11 @@ def ngram_commonness_weights(
     moves only (gram, count) longs; the per-doc sum is a second narrow
     aggregate.  No N^2 stage, no windows over the corpus.
     """
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    t = docs.select(F.col(id_col), toks.alias("__toks"))
+    t = docs.select(F.col(id_col), _lower_tokens(text_col).alias("__toks"))
     # sequence(a, b) steps DOWNWARD when a > b — filter short docs first
     grams = t.filter(F.size("__toks") >= n).select(
         id_col,
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(__toks) - {n - 1}), i -> "
-                f"CAST(conv(substring(md5(array_join("
-                f"slice(__toks, i, {n}), ' ')), 1, 15), 16, 10) AS BIGINT))"
-            )
-        ).alias("gram"),
+        F.explode(F.expr(_gram_hashes_expr(n))).alias("gram"),
     )
     counts = grams.groupBy("gram").agg(F.count("*").cast("long").alias("__c"))
     per_doc = (
@@ -1160,17 +1171,10 @@ def winnowing_fingerprint_pairs(
     """
     from pyspark.sql import Window
 
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    t = docs.select(F.col(id_col), toks.alias("__toks"))
+    t = docs.select(F.col(id_col), _lower_tokens(text_col).alias("__toks"))
     grams = t.filter(F.size("__toks") >= k).select(
         id_col,
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, size(__toks) - {k - 1}), i -> "
-                f"CAST(conv(substring(md5(array_join("
-                f"slice(__toks, i, {k}), ' ')), 1, 15), 16, 10) AS BIGINT))"
-            )
-        ).alias("pos", "h"),
+        F.posexplode(F.expr(_gram_hashes_expr(k))).alias("pos", "h"),
     )
     win = Window.partitionBy(id_col).orderBy("pos")
     fps = (

@@ -41,7 +41,7 @@ per-partition partial top-k merge.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -62,7 +62,10 @@ def bm25_topk(
     total, engine-independent key.  Terms absent from the corpus simply
     contribute no postings (df = 0 never reaches the idf).
     """
-    spark = SparkSession.getActiveSession()
+    # docs.sparkSession, not getActiveSession(): the latter is thread-local
+    # and returns None from a thread that never touched the session (e.g. a
+    # parallel query runner), failing far from the cause
+    spark = docs.sparkSession
     qrows = sorted(
         {(qid, t) for qid, terms in query_terms.items() for t in terms}
     )

@@ -213,9 +213,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sql(
-    num_perm: int = 16, bands: int = 4, extra_where: str = ""
-) -> str:
+def _minhash_cte_prefix(num_perm: int, bands: int) -> tuple[str, str]:
+    """The corpus→shingles→sigs→sigv→banded CTE text plus the
+    signature-agreement sum, shared by BOTH the dedup-pair oracles
+    (`_minhash_sql`) and the estimator-eval oracle (`_minhash_eval_sql`)
+    so the banding scheme can never drift between them."""
     rows = num_perm // bands
     # 60-bit integer hash prefixes, mirroring minhash_signatures (see its
     # docstring): min(BIGINT) hash-aggregates where min(string) sorts
@@ -230,7 +232,7 @@ def _minhash_sql(
             f"CAST(s{b * rows + j} AS VARCHAR)" for j in range(rows)
         )
         band_selects.append(
-            f"SELECT doc_id, sig, {b} AS band_id, md5({key}) AS band_key FROM sigs"
+            f"SELECT doc_id, sig, {b} AS band_id, md5({key}) AS band_key FROM sigv"
         )
     bands_sql = "\n  UNION ALL\n  ".join(band_selects)
     sig_list = ", ".join(f"s{i}" for i in range(num_perm))
@@ -238,8 +240,7 @@ def _minhash_sql(
         f"(CASE WHEN a.sig[{i + 1}] = b.sig[{i + 1}] THEN 1 ELSE 0 END)"
         for i in range(num_perm)
     )
-    return f"""
-WITH {CORPUS_SQL.strip()},
+    prefix = f"""WITH {CORPUS_SQL.strip()},
 {SHINGLE3_SQL.strip()},
 sigs AS (
   SELECT doc_id,
@@ -248,8 +249,17 @@ sigs AS (
 ),
 sigv AS (SELECT *, [{sig_list}] AS sig FROM sigs),
 banded AS (
-  {bands_sql.replace("FROM sigs", "FROM sigv")}
-),
+  {bands_sql}
+)"""
+    return prefix, eq_sum
+
+
+def _minhash_sql(
+    num_perm: int = 16, bands: int = 4, extra_where: str = ""
+) -> str:
+    prefix, eq_sum = _minhash_cte_prefix(num_perm, bands)
+    return f"""
+{prefix},
 pairs AS (
   SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
          round(CAST(({eq_sum}) AS DOUBLE) / {num_perm}, 4) AS est_jaccard
@@ -3796,7 +3806,7 @@ def q_quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _GOPHER_STOP_SQL = " + ".join(
-    f"(CASE WHEN regexp_matches(t, '\\b{s}\\b') THEN 1 ELSE 0 END)"
+    f"(CASE WHEN regexp_matches(lower(t), '\\b{s}\\b') THEN 1 ELSE 0 END)"
     for s in TS.GOPHER_STOPWORDS
 )
 
@@ -3856,8 +3866,8 @@ f AS (
          list_filter(string_split(text, chr(10)), x ->
            regexp_matches(x, '[.!?"]$')
            AND len(string_split(x, ' ')) >= 3
-           AND NOT contains(x, 'javascript')) AS kept,
-         contains(text, 'lorem ipsum') AS has_lorem,
+           AND NOT contains(lower(x), 'javascript')) AS kept,
+         contains(lower(text), 'lorem ipsum') AS has_lorem,
          contains(text, '{{') AS has_brace
   FROM lined)
 SELECT doc_id,
@@ -4737,47 +4747,18 @@ def q_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_eval_sql(num_perm: int = 16, bands: int = 4) -> str:
-    """Oracle for q_minhash_estimate_eval: the same sigs/banded CTE text
-    `_minhash_sql` generates (kept standalone rather than refactoring that
-    builder — its output string feeds two long-green driver oracles), with
-    the pair estimate as an exact integer and a true-Jaccard join tail."""
-    rows = num_perm // bands
-    mins = ",\n         ".join(
-        f"min(CAST(concat('0x', substr(md5('{i}:' || shingle), 1, 15)) "
-        f"AS BIGINT)) AS s{i}"
-        for i in range(num_perm)
-    )
-    band_selects = []
-    for b in range(bands):
-        key = " || '|' || ".join(
-            f"CAST(s{b * rows + j} AS VARCHAR)" for j in range(rows)
-        )
-        band_selects.append(
-            f"SELECT doc_id, sig, {b} AS band_id, md5({key}) AS band_key FROM sigv"
-        )
-    bands_sql = "\n  UNION ALL\n  ".join(band_selects)
-    sig_list = ", ".join(f"s{i}" for i in range(num_perm))
-    eq_sum = " + ".join(
-        f"(CASE WHEN a.sig[{i + 1}] = b.sig[{i + 1}] THEN 1 ELSE 0 END)"
-        for i in range(num_perm)
-    )
+    """Oracle for q_minhash_estimate_eval: the SAME sigs/banded CTE prefix
+    as the dedup-pair oracles (`_minhash_cte_prefix` — one banding
+    definition, zero drift), with the pair estimate as an exact integer
+    and a true-Jaccard join tail."""
+    prefix, eq_sum = _minhash_cte_prefix(num_perm, bands)
     unit = 10000 // num_perm
     true_e4 = (
         "(10000 * coalesce(i.n_inter, 0)) // "
         "(za.n_sh + zb.n_sh - coalesce(i.n_inter, 0))"
     )
     return f"""
-WITH {CORPUS_SQL.strip()},
-{SHINGLE3_SQL.strip()},
-sigs AS (
-  SELECT doc_id,
-         {mins}
-  FROM shingles GROUP BY doc_id
-),
-sigv AS (SELECT *, [{sig_list}] AS sig FROM sigs),
-banded AS (
-  {bands_sql}
-),
+{prefix},
 cand AS (
   SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
          ({eq_sum}) * {unit} AS est_e4

@@ -1459,6 +1459,10 @@ def test_gopher_quality_flags_match_python_reference(spark):
         # word soup, one stopword only
         (5, "key agg row scan slow fast table value part hash merge\n"
             "batch part value fast spark the line sort window."),
+        # title-case stopwords MUST still count (the published gate is
+        # case-insensitive; sentence-initial 'The'/'With' are the norm)
+        (6, "The Cat And The Dog Sat With A Mat Of Hats That Day.\n"
+            "Another Fine Line Follows Here Now.\nThis One Ends Well."),
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string")
     out = {
@@ -1472,7 +1476,7 @@ def test_gopher_quality_flags_match_python_reference(spark):
         mean_e4 = sum(len(w) for w in words) * 10000 // n_words
         sym_e4 = len(re.findall(r"#|\.\.\.", text)) * 10000 // n_words
         n_stop = sum(
-            1 for s in GOPHER_STOPWORDS if re.search(rf"\b{s}\b", text)
+            1 for s in GOPHER_STOPWORDS if re.search(rf"\b{s}\b", text.lower())
         )
         want = {
             "n_words": n_words,
@@ -1503,6 +1507,7 @@ def test_gopher_quality_flags_match_python_reference(spark):
     assert not out[3].r_symbol_ratio and not out[3].r_alpha_words
     assert not out[4].r_word_count
     assert not out[5].r_stopwords
+    assert out[6].r_stopwords and out[6].n_stopwords >= 5
 
 
 def test_c4_line_clean_matches_python_reference(spark):
@@ -1520,6 +1525,12 @@ def test_c4_line_clean_matches_python_reference(spark):
             "fine line number three here.\nfine line number four here."),
         (4, "var config = { a: 1 }.\nfine line number two here.\n"
             "fine line number three here.\nfine line number four here."),
+        # canonical capitalizations must still trigger the gates
+        (5, "Please enable JavaScript to view the comments.\n"
+            "fine line number two here.\nfine line number three here.\n"
+            "fine line number four here."),
+        (6, "Lorem Ipsum dolor sit amet.\nfine line number two here.\n"
+            "fine line number three here.\nfine line number four here."),
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string")
     out = {r.doc_id: r for r in c4_line_clean(df).collect()}
@@ -1530,9 +1541,9 @@ def test_c4_line_clean_matches_python_reference(spark):
             for ln in lines
             if re.search(r'[.!?"]$', ln)
             and len(ln.split(" ")) >= 3
-            and "javascript" not in ln
+            and "javascript" not in ln.lower()
         ]
-        has_lorem = "lorem ipsum" in text
+        has_lorem = "lorem ipsum" in text.lower()
         has_brace = "{" in text
         r = out[did]
         assert (
@@ -1554,6 +1565,8 @@ def test_c4_line_clean_matches_python_reference(spark):
     assert not out[2].keep          # javascript + short lines eat it
     assert not out[3].keep and out[3].has_lorem
     assert not out[4].keep and out[4].has_brace
+    assert out[5].n_kept_lines == 3  # 'JavaScript' line dropped
+    assert not out[6].keep and out[6].has_lorem  # 'Lorem Ipsum' caught
 
 
 def test_sq8_quantization_error_and_topk(spark):
