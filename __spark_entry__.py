@@ -47,7 +47,9 @@ DRIVER_CHECK_WINDOW = 50
 # ROTATION_AS_OF >= #recorded - 1, so the rotation can lag recorded history
 # by at most the one in-flight grading round — it can never be pinned stale.
 ROTATION_AS_OF = 4
-# Round-5 rotation.  100 registered = 50 window + 50 tail.  Late-round
+# Round-5 rotation (a running log: authored at 100 registered = 50 window
+# + 50 tail, grown by the displacement notes below to the final
+# 107 = 50 window + 57 tail).  Late-round
 # growth: nine more pipeline queries (quality_gopher_rules, c4_line_filter,
 # sample_unimax, dedup_substring_removal, ann_recall_eval, retrieval_bm25,
 # sample_soft_dedup, dedup_representatives, sample_doremi) entered the
